@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.bronze.{EventDecode, Innings}
+import graft.silver.Enrich
+import graft.gold.GoldTables
+
+/** End-to-end medallion dataflow: raw ball CSV → bronze → silver → gold.
+  *
+  * The reference splits this across an S3-event Lambda and two Glue jobs
+  * (SURVEY §3); here the process boundaries collapse into one lazy plan
+  * per layer — each stage is a pure DataFrame => DataFrame function, so
+  * Catalyst sees the whole lineage and optimizes across stages.
+  */
+object Pipeline {
+
+  /** Raw → bronze: event decode + innings segmentation
+    * (reference: pipeline_2026/ex_match_rb.py lambda body).
+    * Includes the full-row dedup of re-scraped snapshots (:183). */
+  def toBronze(raw: DataFrame): DataFrame =
+    Innings.addInnings(EventDecode.decode(raw).dropDuplicates(
+      // `seq`/`extract_time` vary per scrape; dedup on the logical row
+      Seq("match", "over", "ball", "bowler", "batsman", "runs", "extra_runs",
+        "extra", "extra_type", "rebowl", "wicket", "wicket_method",
+        "out_batsman", "total_runs")))
+
+  /** Bronze → silver (reference: ex_match_bs.py transform_to_silver). */
+  def toSilver(spark: SparkSession, bronze: DataFrame, meta: DataFrame,
+               players: Option[DataFrame] = None): DataFrame =
+    Enrich.transform(spark, bronze, meta, players)
+
+  /** Silver → the four gold tables (reference: ex_match_sg.py). */
+  def toGold(silver: DataFrame): Map[String, DataFrame] = Map(
+    "gold_batsman_stats" -> GoldTables.batsmanStats(silver),
+    "gold_bowler_stats" -> GoldTables.bowlerStats(silver),
+    "gold_team_stats" -> GoldTables.teamStats(silver),
+    "gold_tournament_standings" -> GoldTables.tournamentStandings(silver),
+  )
+}

@@ -1,0 +1,80 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.model.Schemas
+
+/** Source / sink layer (SURVEY §2.1, S1–S12).
+  *
+  * The reference stores silver/gold as Delta Lake with partition-predicate
+  * overwrite for idempotent re-runs (reference: pipeline_2026/
+  * ex_match_bs.py:461-482, ex_match_sg.py:299-315). Delta isn't on this
+  * harness's classpath, so the same semantics are provided over Parquet:
+  * `partitionBy(...)` for layout + partition pruning, and Spark's dynamic
+  * partition-overwrite mode as the `replaceWhere` analogue — only the
+  * partitions present in the incoming frame are replaced, the rest of the
+  * table is untouched (same idempotence contract, S8).
+  */
+object Tables {
+
+  /** S1 — raw ball CSV scan with the pinned 11-string schema
+    * (ex_match_rb.py:173-175). */
+  def readRawBallCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(Schemas.rawBall).csv(path)
+
+  /** S2 — bronze NDJSON scan; Spark's JSON source is line-delimited by
+    * default, matching the reference's `lines=True` read
+    * (ex_match_bs.py:420-427). Falls back to array-JSON (multiLine) when
+    * the line read yields only corrupt records (:135-137 coercion). */
+  def readBronzeNdjson(spark: SparkSession, path: String): DataFrame = {
+    val lineRead = spark.read.schema(Schemas.bronzeDelivery).json(path)
+    if (lineRead.isEmpty)
+      spark.read.option("multiLine", "true").schema(Schemas.bronzeDelivery).json(path)
+    else lineRead
+  }
+
+  /** S3 — single JSON object scan ({match}_meta.json, ex_match_bs.py:131-143). */
+  def readMetaJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").schema(Schemas.matchMeta).json(path)
+
+  /** S4 — players catalog NDJSON (ex_match_bs.py:159-196). Bad lines are
+    * skipped (PERMISSIVE + required Name), mirroring the per-line
+    * try/except. */
+  def readPlayers(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.player).json(path)
+      .where(org.apache.spark.sql.functions.col("Name").isNotNull)
+
+  /** S6 — silver/gold table scan. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S7 — partitioned silver sink (ex_match_bs.py:464-482; layout
+    * partitioned by (match, innings) per :467). */
+  def writeSilver(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy("match", "innings").parquet(path)
+
+  /** S8 — partition upsert: replace exactly the (match, innings)
+    * partitions present in `df`, keep all others — the Parquet analogue
+    * of Delta `replaceWhere "match = X"` (ex_match_bs.py:461-472). */
+  def upsertSilverPartitions(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("match", "innings").parquet(path)
+
+  /** S9 — gold full-overwrite sink (ex_match_sg.py:299-315). */
+  def writeGold(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S10 — CSV convenience sink (pipeline_local/to_gold/gld_match.py:317-319). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S12 — table existence probe (ex_match_bs.py:452-457; the local
+    * `_delta_log` check in to_silver/slvr_match.py:242 becomes an
+    * HDFS-API path probe). */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+}
