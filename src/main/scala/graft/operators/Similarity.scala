@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the usual ANN playbook:
+  *  - [[exactTopK]] — brute-force cosine against a SMALL broadcast query
+  *    set. O(queries × corpus) but one scan, no shuffle of the corpus,
+  *    ranking via a per-query window. The correctness baseline.
+  *  - [[annTopK]] — random-hyperplane LSH: each vector hashes into one
+  *    bucket per table (nt tables × nb bits); queries join candidates on
+  *    (table, bucket), so the corpus is only compared inside matching
+  *    buckets. The 100 TB path: bucket join is an equi-join Catalyst
+  *    shuffles on the bucket key; per-bucket candidate lists stay small.
+  *
+  * All arithmetic in double (cast from float once) — deterministic and
+  * identical to the DuckDB oracle's double evaluation.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact cosine top-k: for every vector with `vec_id < nQueries`, the k
+    * nearest among the rest. Returns (query_id, rank, neighbor_id).
+    */
+  def exactTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val q = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val c = v.where(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: nt tables × nb bits, dim
+    * components each, from a fixed-seed LCG (no RNG state — stable across
+    * runs/executors). */
+  def hyperplanes(nt: Int, nb: Int, dim: Int): Array[Array[Array[Double]]] = {
+    var state = 0x5deece66dL
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Array.fill(nt, nb, dim)(next())
+  }
+
+  /** LSH bucket ids (one per table) for a double vector. */
+  def bucketIds(planes: Array[Array[Array[Double]]])(vec: Seq[Double]): Seq[Long] =
+    planes.indices.map { t =>
+      var bucket = 0L
+      var b = 0
+      while (b < planes(t).length) {
+        val p = planes(t)(b)
+        var s = 0.0
+        var i = 0
+        while (i < p.length && i < vec.length) { s += p(i) * vec(i); i += 1 }
+        if (s > 0) bucket |= (1L << b)
+        b += 1
+      }
+      (t.toLong << 32) | bucket
+    }
+
+  /** Approximate cosine top-k via random-hyperplane LSH. Same output shape
+    * as [[exactTopK]]; recall < 1 by construction (verified ≥ threshold in
+    * tests against the exact baseline).
+    */
+  def annTopK(emb: DataFrame, nQueries: Int, k: Int,
+              tables: Int = 8, bits: Int = 8): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val planes = hyperplanes(tables, bits, dim)
+    val bucketUdf = udf { (vec: Seq[Double]) => bucketIds(planes)(vec) }
+
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("bucket", explode(bucketUdf(col("vec"))))
+    val q = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("bucket"))
+    val c = v.where(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .select("query_id", "qvec", "neighbor_id", "cvec").distinct()
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), blocked on
+    * equal `label` — the deterministic blocking key that keeps this off
+    * the full cross product (the LSH buckets of [[annTopK]] serve the
+    * same role when no label exists). Returns (vec_a, vec_b, cos6).
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("vec"))
+    val a = v.select(col("vec_id").as("vec_a"), col("label"), col("vec").as("va"))
+    val b = v.select(col("vec_id").as("vec_b"), col("label"), col("vec").as("vb"))
+    a.join(b, Seq("label"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos6", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cos6") >= threshold)
+      .select("vec_a", "vec_b", "cos6")
+  }
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+import Tables._
+
+/** Driver-contract queries for the LLM-training-data operator families
+  * (dedup / similarity search / text analysis / multimodal) over the
+  * `documents` and `embeddings` tables.
+  *
+  * Oracle policy: everything an independent SQL engine can reproduce gets
+  * a DuckDB oracle (exact dedup, token/quality stats, language-ID,
+  * blocked Jaccard pairs, exact cosine top-k, multimodal metadata). The
+  * hash-seeded approximate operators (MinHash-LSH, SimHash, hyperplane
+  * ANN, rolling fingerprint) have no independent reproduction — they are
+  * registered rows-only and verified against their exact counterparts in
+  * ScalaTest (recall bounds).
+  */
+object LlmQueries {
+
+  private val langIdCase =
+    """CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+      |     WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+      |     WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+      |     WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ----- text analysis --------------------------------------------------
+
+    Q("q_text_exact_dedup",
+      (s, dir) => Dedup.exactGroups(documents(s, dir)).orderBy("fingerprint"),
+      Some("""SELECT md5(lower(trim(text))) AS fingerprint,
+             |  MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+             |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
+
+    Q("q_text_token_stats",
+      (s, dir) => documents(s, dir).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          sum("n_chars").as("total_chars"))
+        .withColumn("avg_chars",
+          col("total_chars").cast("double") / col("n_docs"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             |    AS total_tokens,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("q_text_quality",
+      (s, dir) => TextAnalysis.qualityMetrics(documents(s, dir))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_punct").as("total_punct"),
+          sum("n_stopwords").as("total_stopwords"))
+        .withColumn("stopword_ratio",
+          col("total_stopwords").cast("double") / col("total_tokens"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             |    AS total_tokens,
+             |  CAST(SUM(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+             |    AS BIGINT) AS total_punct,
+             |  CAST(SUM(len(regexp_extract_all(text, '\b(the|a|of|and|to|is|in)\b')))
+             |    AS BIGINT) AS total_stopwords,
+             |  CAST(SUM(len(regexp_extract_all(text, '\b(the|a|of|and|to|is|in)\b')))
+             |      AS DOUBLE) /
+             |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             |    AS stopword_ratio
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("q_text_lang_id",
+      (s, dir) => documents(s, dir)
+        .withColumn("predicted", TextAnalysis.predictLang(col("text")))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted"),
+      Some(s"""WITH scored AS (SELECT lang,
+              |  len(regexp_extract_all(text, '\\b(the|and|of|is)\\b')) AS s_en,
+              |  len(regexp_extract_all(text, '\\b(le|la|les|et|une)\\b')) AS s_fr,
+              |  len(regexp_extract_all(text, '\\b(el|los|las|y|que)\\b')) AS s_es,
+              |  len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) AS s_de,
+              |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+              |FROM documents)
+              |SELECT lang, $langIdCase AS predicted, COUNT(*) AS n
+              |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin)),
+
+    Q("q_text_fingerprint_rolling",
+      (s, dir) => documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.rollingHash64(col("text")).as("fingerprint64"))
+        .orderBy("doc_id"),
+      None),
+
+    // ----- dedup ----------------------------------------------------------
+
+    Q("q_dedup_ngram_jaccard",
+      (s, dir) => Dedup.jaccardPairs(documents(s, dir), 0.5)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+             |  FROM documents),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.toks, b.toks)) AS inter,
+             |    len(a.toks) AS na, len(b.toks) AS nb
+             |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |    AND len(a.toks) * 2 >= len(b.toks) AND len(b.toks) * 2 >= len(a.toks))
+             |SELECT doc_a, doc_b,
+             |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+             |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("q_dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(documents(s, dir), 0.5)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    Q("q_dedup_simhash",
+      (s, dir) => Dedup.simhashSignatures(documents(s, dir)).orderBy("doc_id"),
+      None),
+
+    // ----- similarity search ----------------------------------------------
+
+    Q("q_embed_knn_exact",
+      (s, dir) => Similarity.exactTopK(embeddings(s, dir), 5, 5)
+        .orderBy("query_id", "rank"),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neighbor_id, vec AS cvec FROM v WHERE vec_id >= 5),
+             |s AS (SELECT query_id, neighbor_id,
+             |    list_dot_product(qvec, cvec) /
+             |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec)))
+             |      AS cos
+             |  FROM q CROSS JOIN c),
+             |r AS (SELECT query_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+             |      AS rank FROM s)
+             |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("q_embed_ann_lsh",
+      (s, dir) => Similarity.annTopK(embeddings(s, dir), 5, 5)
+        .orderBy("query_id", "rank"),
+      None),
+
+    Q("q_embed_neardup_cosine",
+      (s, dir) => Similarity.cosineNearDupPairs(embeddings(s, dir), 0.9)
+        .orderBy("vec_a", "vec_b"),
+      Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+             |  FROM embeddings)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |  ROUND(list_dot_product(a.vec, b.vec) /
+             |    (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))),
+             |    6) AS cos6
+             |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE ROUND(list_dot_product(a.vec, b.vec) /
+             |    (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))),
+             |    6) >= 0.9
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ----- multimodal -----------------------------------------------------
+
+    Q("q_multimodal_meta",
+      (s, dir) => Multimodal.attachPayload(documents(s, dir))
+        .select(col("doc_id"),
+          col("media_meta.byte_len").as("byte_len"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"))
+        .withColumn("chunks", expr("(byte_len + 1023) div 1024"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |  CAST(n_chars % 640 AS INTEGER) AS width,
+             |  CAST(n_chars * 7 % 480 AS INTEGER) AS height,
+             |  (CAST(octet_length(encode(text)) AS BIGINT) + 1023) // 1024 AS chunks
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q_multimodal_features",
+      (s, dir) => Multimodal.extractFeatures(s,
+          Multimodal.attachPayload(documents(s, dir)))
+        .orderBy("doc_id"),
+      None),
+  )
+}

@@ -1,0 +1,494 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Driver-contract queries exercising every relational operator family of
+  * SURVEY §2 over the TPC-H-ish testdata (SURVEY §7.3 mapping). Names
+  * carry the §2 operator ids they verify.
+  *
+  * Plan-shape notes (the 100 TB intent behind each):
+  *  - dimension joins (nation/region/part-token) broadcast — no fact
+  *    shuffle;
+  *  - leaderboards are single hash-aggregations with map-side partials;
+  *  - window queries partition by their natural key (user_id / custkey),
+  *    never a global unpartitioned window except bounded outputs;
+  *  - top-k is orderBy+limit ⇒ TakeOrderedAndProject, not a full sort.
+  */
+object RelationalQueries {
+
+  private val li = lineitem _
+  private val ev = events _
+
+  val all: Seq[Q] = Seq(
+
+    // ----- scans / filters / projections ---------------------------------
+
+    Q("q_s1_scan_filter_project",
+      (s, dir) => li(s, dir)
+        .where(col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '2001-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q_p2_eq_filter",
+      (s, dir) => ev(s, dir).where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("user_id"),
+      Some(s"""SELECT user_id, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+              |FROM events WHERE event_type = 'purchase'
+              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("q_p3_isin",
+      (s, dir) => li(s, dir).where(col("l_returnflag").isin("A", "R"))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_linestatus"),
+      Some(s"""SELECT l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+              |FROM lineitem WHERE l_returnflag IN ('A','R')
+              |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    Q("q_p4_not_isin",
+      (s, dir) => li(s, dir).where(!col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+             |WHERE l_returnflag NOT IN ('A','R')
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q_p6_suffix_filter",
+      (s, dir) => part(s, dir).where(col("p_name").endsWith("bolt"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, COUNT(*) AS n FROM part
+             |WHERE p_name LIKE '%bolt'
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    Q("q_p7_deterministic_sample",
+      (s, dir) => ev(s, dir).where(col("event_id") % 97 === 0)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin)),
+
+    // ----- aggregations ---------------------------------------------------
+
+    Q("q_a1_groupby_leaderboard",
+      (s, dir) => li(s, dir).groupBy("l_returnflag", "l_linestatus").agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"))
+        // No ROUND on engine-computed doubles anywhere in the registry:
+        // Spark rounds via the shortest-decimal string (HALF_UP) while
+        // DuckDB rounds the binary value, so true ..5 midpoints diverge.
+        // Ratios of bit-identical doubles are themselves bit-identical.
+        .withColumn("avg_qty", col("sum_qty") / col("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${sqlDsum("l_quantity")} AS sum_qty,
+              |  ${sqlDsum("l_extendedprice")} AS sum_price,
+              |  COUNT(*) AS n_rows,
+              |  COUNT(DISTINCT l_orderkey) AS n_orders,
+              |  ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q_a2_two_level_max",
+      (s, dir) => {
+        val oq = li(s, dir).groupBy("l_orderkey")
+          .agg(dsum(col("l_quantity")).as("order_qty"))
+        orders(s, dir)
+          .join(oq, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_custkey")
+          .agg(max("order_qty").as("max_order_qty"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""WITH oq AS (
+              |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS order_qty
+              |  FROM lineitem GROUP BY l_orderkey)
+              |SELECT o_custkey, MAX(order_qty) AS max_order_qty
+              |FROM orders JOIN oq ON o_orderkey = l_orderkey
+              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    Q("q_a3_count_by_key",
+      (s, dir) => ev(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n")).orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("q_a5_countdistinct",
+      (s, dir) => customer(s, dir).groupBy("c_nationkey")
+        .agg(countDistinct("c_mktsegment").as("n_segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments,
+             |  COUNT(*) AS n_customers
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    Q("q_a6_conditional_agg",
+      (s, dir) => li(s, dir).groupBy("l_returnflag").agg(
+          sum(when(col("l_quantity") > 25, 1).otherwise(0)).as("big_qty_rows"),
+          sum(d(when(col("l_linestatus") === "F", col("l_extendedprice"))
+            .otherwise(0))).cast("double").as("f_price"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  ${sqlIsum("CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END")} AS big_qty_rows,
+              |  ${sqlDsum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END")} AS f_price
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q_a9_union_fold",
+      (s, dir) => customer(s, dir)
+        .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("bal"))
+        .unionByName(supplier(s, dir)
+          .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("bal")))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n"), dsum(col("bal")).as("total_bal"))
+        .orderBy("nationkey"),
+      Some(s"""WITH u AS (
+              |  SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
+              |  UNION ALL
+              |  SELECT s_nationkey, s_acctbal FROM supplier)
+              |SELECT nationkey, COUNT(*) AS n, ${sqlDsum("bal")} AS total_bal
+              |FROM u GROUP BY nationkey ORDER BY nationkey""".stripMargin)),
+
+    // ----- joins ----------------------------------------------------------
+
+    Q("q_j1_dim_join_broadcast",
+      (s, dir) => customer(s, dir)
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("r_name", "n_name"),
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+              |  ${sqlDsum("c_acctbal")} AS total_bal
+              |FROM customer
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    Q("q_j2_left_join_coalesce",
+      (s, dir) => {
+        val oc = orders(s, dir).groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        customer(s, dir)
+          .join(oc, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("spend"), lit(0.0)).as("spend"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, COALESCE(n_orders, 0) AS n_orders,
+              |  COALESCE(spend, 0.0) AS spend
+              |FROM customer LEFT JOIN (
+              |  SELECT o_custkey, COUNT(*) AS n_orders,
+              |    ${sqlDsum("o_totalprice")} AS spend
+              |  FROM orders GROUP BY o_custkey) oc ON c_custkey = o_custkey
+              |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_j4_outer_join_fill",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val p = e.where(col("event_type") === "purchase")
+          .groupBy("user_id").agg(count(lit(1)).as("purchases"))
+        val r = e.where(col("event_type") === "error")
+          .groupBy("user_id").agg(count(lit(1)).as("errors"))
+        p.join(r, Seq("user_id"), "outer").na.fill(0)
+          .orderBy("user_id")
+      },
+      Some("""SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+             |  COALESCE(purchases, 0) AS purchases,
+             |  COALESCE(errors, 0) AS errors
+             |FROM (SELECT user_id, COUNT(*) AS purchases FROM events
+             |      WHERE event_type = 'purchase' GROUP BY user_id) p
+             |FULL JOIN (SELECT user_id, COUNT(*) AS errors FROM events
+             |      WHERE event_type = 'error' GROUP BY user_id) e
+             |  ON p.user_id = e.user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    Q("q_j7_agg_join_enrich",
+      (s, dir) => {
+        val o = orders(s, dir)
+        val ct = o.groupBy(col("o_custkey").as("ck"))
+          .agg(dsum(col("o_totalprice")).as("cust_total"))
+        o.join(ct, col("o_custkey") === col("ck"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") / col("cust_total")).as("share"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey,
+              |  o_totalprice / cust_total AS share
+              |FROM orders JOIN (
+              |  SELECT o_custkey AS ck, ${sqlDsum("o_totalprice")} AS cust_total
+              |  FROM orders GROUP BY o_custkey) t ON o_custkey = ck
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----- windows --------------------------------------------------------
+
+    Q("q_w1_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val lagUs = lag(col("us"), 1).over(w)
+        val boundary = when(lagUs.isNull || col("us") - lagUs > 1800000000L, 1L)
+          .otherwise(0L)
+        ev(s, dir)
+          .withColumn("session_id", sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min("us").as("start_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |b AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+             |        OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS boundary
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |sess AS (SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |      FROM b)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  COUNT(*) AS n_events, MIN(us) AS start_us
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    Q("q_w2_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir)
+          .select(col("event_id"), col("user_id"), col("us"),
+            sum(d(col("value"))).over(w).cast("double").as("running_value"))
+          .orderBy("user_id", "us", "event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS running_value
+             |FROM events ORDER BY user_id, us, event_id""".stripMargin)),
+
+    Q("q_w3_rank_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        orders(s, dir).withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"),
+            col("o_totalprice").as("top_price"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    Q("q_w4_carry_forward",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir)
+          .select(col("event_id"), col("user_id"),
+            coalesce(
+              last(when(col("event_type") === "purchase", col("value")),
+                ignoreNulls = true).over(w),
+              lit(-1.0)).as("last_purchase_value"))
+          .orderBy("user_id", "us", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  COALESCE(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+             |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+             |    AS last_purchase_value
+             |FROM events ORDER BY user_id, epoch_us(ts), event_id""".stripMargin)),
+
+    // ----- sorts / top-k / dedup -----------------------------------------
+
+    Q("q_o2_multikey_sort",
+      (s, dir) => supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy(asc("s_nationkey"), desc("s_acctbal"), asc("s_suppkey")),
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+             |ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey ASC""".stripMargin)),
+
+    Q("q_o4_latest_per_key",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(desc("us"), desc("event_id"))
+        ev(s, dir).withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("us").as("last_us"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_us
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    Q("q_o5_topk",
+      (s, dir) => orders(s, dir).groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as("total_spend"))
+        .orderBy(desc("total_spend"), asc("o_custkey"))
+        .limit(10),
+      Some(s"""SELECT o_custkey, ${sqlDsum("o_totalprice")} AS total_spend
+              |FROM orders GROUP BY o_custkey
+              |ORDER BY total_spend DESC, o_custkey ASC LIMIT 10""".stripMargin)),
+
+    Q("q_u2_distinct",
+      (s, dir) => li(s, dir).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q_u3_keyed_dedup_first",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("us", "event_id")
+        ev(s, dir).withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("first_event_id"), col("us").as("first_us"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id AS first_event_id,
+             |  epoch_us(ts) AS first_us
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |        ORDER BY ts, event_id) AS rn FROM events)
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // ----- scalar functions ----------------------------------------------
+
+    Q("q_f1_f2_lower_trim",
+      (s, dir) => customer(s, dir)
+        .groupBy(lower(trim(col("c_mktsegment"))).as("segment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("segment"),
+      Some("""SELECT lower(trim(c_mktsegment)) AS segment, COUNT(*) AS n
+             |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    Q("q_f3_split_token",
+      (s, dir) => part(s, dir)
+        .groupBy(split(col("p_name"), " ").getItem(0).as("first_token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("first_token"),
+      Some("""SELECT split_part(p_name, ' ', 1) AS first_token, COUNT(*) AS n
+             |FROM part GROUP BY 1 ORDER BY first_token""".stripMargin)),
+
+    Q("q_f6_regexp_extract",
+      (s, dir) => customer(s, dir)
+        .withColumn("cust_id",
+          regexp_extract(col("c_name"), "(\\d+)", 1).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), max("cust_id").as("max_id"),
+          sum("cust_id").as("sum_id"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |  MAX(CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT)) AS max_id,
+             |  CAST(SUM(CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_id
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("q_f7_decode_case",
+      (s, dir) => orders(s, dir)
+        .withColumn("priority_class",
+          when(col("o_orderpriority") === "1-URGENT", 1)
+            .when(col("o_orderpriority") === "2-HIGH", 2)
+            .when(col("o_orderpriority") === "3-MEDIUM", 3)
+            .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4)
+            .otherwise(5))
+        .groupBy("priority_class").agg(count(lit(1)).as("n"))
+        .orderBy("priority_class"),
+      Some("""SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+             |  WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END
+             |  AS priority_class, COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY priority_class""".stripMargin)),
+
+    Q("q_f5_contains_startswith",
+      (s, dir) => part(s, dir).groupBy("p_brand").agg(
+          sum(col("p_name").startsWith("red").cast("int")).as("n_red"),
+          sum(col("p_name").contains("bolt").cast("int")).as("n_bolt"))
+        .orderBy("p_brand"),
+      Some(s"""SELECT p_brand,
+              |  ${sqlIsum("CASE WHEN p_name LIKE 'red%' THEN 1 ELSE 0 END")} AS n_red,
+              |  ${sqlIsum("CASE WHEN p_name LIKE '%bolt%' THEN 1 ELSE 0 END")} AS n_bolt
+              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    Q("q_f10_f14_revenue_round",
+      // ROUND happens in the exact DECIMAL domain (both engines round
+      // decimals half-away-from-zero) and only then casts to double.
+      (s, dir) => li(s, dir).groupBy("l_returnflag")
+        .agg(round(sum(d(col("l_extendedprice")) * (lit(1).cast(dec) - d(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+             |    AS DOUBLE) AS revenue
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q_f11_bucket_case",
+      (s, dir) => li(s, dir)
+        .withColumn("qty_bucket",
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 25, "mid")
+            .when(col("l_quantity") < 40, "high")
+            .otherwise("huge"))
+        .groupBy("qty_bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("qty_bucket"),
+      Some(s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+              |  WHEN l_quantity < 25 THEN 'mid' WHEN l_quantity < 40 THEN 'high'
+              |  ELSE 'huge' END AS qty_bucket,
+              |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY 1 ORDER BY qty_bucket""".stripMargin)),
+
+    Q("q_f13_guarded_div",
+      (s, dir) => li(s, dir).groupBy("l_suppkey").agg(
+          sum(d(when(col("l_returnflag") === "A", col("l_extendedprice"))
+            .otherwise(0))).cast("double").as("a_value"),
+          sum((col("l_quantity") > 49).cast("int")).as("n_big"))
+        .withColumn("ratio",
+          col("a_value") / when(col("n_big") === 0, 1).otherwise(col("n_big")))
+        .orderBy("l_suppkey"),
+      Some(s"""SELECT l_suppkey,
+              |  ${sqlDsum("CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END")} AS a_value,
+              |  ${sqlIsum("CASE WHEN l_quantity > 49 THEN 1 ELSE 0 END")} AS n_big,
+              |  ${sqlDsum("CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END")}
+              |    / (CASE WHEN ${sqlIsum("CASE WHEN l_quantity > 49 THEN 1 ELSE 0 END")} = 0
+              |       THEN 1 ELSE ${sqlIsum("CASE WHEN l_quantity > 49 THEN 1 ELSE 0 END")} END) AS ratio
+              |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    Q("q_f17_concat_lpad",
+      (s, dir) => nation(s, dir)
+        .select(col("n_nationkey"),
+          concat(lpad(col("n_nationkey").cast("string"), 3, "0"),
+            lit("_"), col("n_name")).as("nation_code"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+             |  lpad(CAST(n_nationkey AS VARCHAR), 3, '0') || '_' || n_name AS nation_code
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    Q("q_f18_initcap",
+      (s, dir) => region(s, dir)
+        .select(col("r_regionkey"), initcap(lower(col("r_name"))).as("pretty_name"))
+        .orderBy("r_regionkey"),
+      Some("""SELECT r_regionkey,
+             |  array_to_string(list_transform(string_split(lower(r_name), ' '),
+             |    x -> upper(x[1]) || x[2:]), ' ') AS pretty_name
+             |FROM region ORDER BY r_regionkey""".stripMargin)),
+
+    Q("q_fjson_extract",
+      (s, dir) => ev(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+  )
+}
