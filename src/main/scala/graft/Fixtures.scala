@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.model.Schemas
 
 /** Deterministic synthetic cricket season (no RNG state — a fixed LCG),
@@ -70,10 +71,18 @@ object Fixtures {
     (raw.result(), meta.result())
   }
 
+  /** Raw frame carries an explicit `seq` ingest ordinal (generation
+    * order) so the stateful bronze windows are deterministic under any
+    * downstream repartitioning — the scale-safe ordering contract
+    * (EventDecode preserves a pre-existing seq). */
   def rawSeason(spark: SparkSession): (DataFrame, DataFrame) = {
     val (rawRows, metaRows) = seasonRows
+    val withSeq = rawRows.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i.toLong)
+    }
+    val schema = StructType(Schemas.rawBall.fields :+ StructField("seq", LongType))
     (spark.createDataFrame(
-        spark.sparkContext.parallelize(rawRows, 4), Schemas.rawBall),
+        spark.sparkContext.parallelize(withSeq, 4), schema),
       spark.createDataFrame(
         spark.sparkContext.parallelize(metaRows, 1), Schemas.matchMeta))
   }

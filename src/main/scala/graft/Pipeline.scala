@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
 import graft.bronze.{EventDecode, Innings}
 import graft.silver.Enrich
 import graft.gold.GoldTables
@@ -16,13 +18,29 @@ object Pipeline {
 
   /** Raw → bronze: event decode + innings segmentation
     * (reference: pipeline_2026/ex_match_rb.py lambda body).
-    * Includes the full-row dedup of re-scraped snapshots (:183). */
+    * Includes the full-row dedup of re-scraped snapshots (:183).
+    *
+    * Deterministic dedup: the surviving row of each duplicate group is
+    * the one with the smallest `seq` (first in ingest order) — a plain
+    * `dropDuplicates` keeps an arbitrary partition's row, and since the
+    * innings windows order by `seq`, that nondeterminism could flip
+    * innings boundaries between runs.
+    */
   def toBronze(raw: DataFrame): DataFrame =
-    Innings.addInnings(EventDecode.decode(raw).dropDuplicates(
-      // `seq`/`extract_time` vary per scrape; dedup on the logical row
-      Seq("match", "over", "ball", "bowler", "batsman", "runs", "extra_runs",
-        "extra", "extra_type", "rebowl", "wicket", "wicket_method",
-        "out_batsman", "total_runs")))
+    Innings.addInnings(dedupDecoded(EventDecode.decode(raw)))
+
+  /** First-in-ingest-order dedup of decoded delivery rows (also reused by
+    * the incremental path, which merges decoded batches before innings
+    * assignment). */
+  def dedupDecoded(decoded: DataFrame): DataFrame = {
+    // `seq`/`extract_time` vary per scrape; dedup on the logical row
+    val dupKey = Seq("match", "over", "ball", "bowler", "batsman", "runs",
+      "extra_runs", "extra", "extra_type", "rebowl", "wicket",
+      "wicket_method", "out_batsman", "total_runs")
+    val w = Window.partitionBy(dupKey.map(col): _*).orderBy("seq")
+    decoded.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
 
   /** Bronze → silver (reference: ex_match_bs.py transform_to_silver). */
   def toSilver(spark: SparkSession, bronze: DataFrame, meta: DataFrame,

@@ -45,8 +45,18 @@ object EventDecode {
   /** df: raw ball schema (Schemas.rawBall). Output adds the typed delivery
     * columns and `seq` (explicit ingest order — the reference depends on
     * physical file order; see SURVEY §2.5 note).
+    *
+    * If the input already carries a `seq` column it is preserved — the
+    * scale-safe path: pin the ordinal at TRUE ingest time, before any
+    * shuffle, and downstream repartitioning can never reorder the
+    * stateful windows. The `monotonically_increasing_id` fallback encodes
+    * the partitioning at decode time and is only deterministic when
+    * decode runs directly on the unshuffled source read.
     */
   def decode(df: DataFrame): DataFrame = {
+    val dfSeq =
+      if (df.columns.contains("seq")) df
+      else df.withColumn("seq", monotonically_increasing_id())
     val ev  = lower(col("ball_event"))
     val info = lower(col("event_info"))
 
@@ -81,7 +91,7 @@ object EventDecode {
         .when(isOut, col("batsman"))
         .otherwise("N/A")
 
-    df.select(
+    dfSeq.select(
       col("match"), col("date"), col("time"),
       col("over").cast("int").as("over"),
       col("ball").cast("int").as("ball"),
@@ -95,7 +105,7 @@ object EventDecode {
       wicketMethod.as("wicket_method"),
       outBatsman.as("out_batsman"),
       (runs + extraRuns).as("total_runs"),
-      monotonically_increasing_id().as("seq"),
+      col("seq"),
     )
   }
 }

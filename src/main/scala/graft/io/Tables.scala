@@ -24,14 +24,38 @@ object Tables {
 
   /** S2 — bronze NDJSON scan; Spark's JSON source is line-delimited by
     * default, matching the reference's `lines=True` read
-    * (ex_match_bs.py:420-427). Falls back to array-JSON (multiLine) when
-    * the line read yields only corrupt records (:135-137 coercion). */
+    * (ex_match_bs.py:420-427). The array-JSON fallback (:135-137) is
+    * chosen by sniffing the first non-whitespace byte driver-side (O(1),
+    * no Spark job — the previous `isEmpty` probe launched a job per
+    * file, a per-read planning tax that compounds over thousands of
+    * inputs). */
   def readBronzeNdjson(spark: SparkSession, path: String): DataFrame = {
-    val lineRead = spark.read.schema(Schemas.bronzeDelivery).json(path)
-    if (lineRead.isEmpty)
-      spark.read.option("multiLine", "true").schema(Schemas.bronzeDelivery).json(path)
-    else lineRead
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstFile =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+          .headOption.map(_.getPath)
+      else Some(p)
+    val isArray = firstFile.exists { f =>
+      val in = fs.open(f)
+      try Iterator.continually(in.read()).take(256)
+        .find(b => b == -1 || !Character.isWhitespace(b))
+        .contains('['.toInt)
+      finally in.close()
+    }
+    val reader = spark.read.schema(Schemas.bronzeDelivery)
+    if (isArray) reader.option("multiLine", "true").json(path)
+    else reader.json(path)
   }
+
+  /** S5/P6 — suffix-scoped directory scan: only files matching `glob`
+    * under `dir` participate (the reference filters `*_brnz.json` /
+    * `.csv` keys, ex_match_bs.py:409-410, ex_match_rb.py:165-167).
+    * Pushed to the file index — pruned files are never opened. */
+  def readRawBallCsvGlob(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.option("header", "true").option("pathGlobFilter", glob)
+      .schema(Schemas.rawBall).csv(dir)
 
   /** S3 — single JSON object scan ({match}_meta.json, ex_match_bs.py:131-143). */
   def readMetaJson(spark: SparkSession, path: String): DataFrame =

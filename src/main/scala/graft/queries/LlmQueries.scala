@@ -148,7 +148,9 @@ object LlmQueries {
       None),
 
     Q("q_embed_neardup_cosine",
-      (s, dir) => Similarity.cosineNearDupPairs(embeddings(s, dir), 0.9)
+      // 0.4 is calibrated to the synthetic embeddings (label-blocked
+      // cosine tops out ≈0.47); a text-embedding corpus would use ~0.95
+      (s, dir) => Similarity.cosineNearDupPairs(embeddings(s, dir), 0.4)
         .orderBy("vec_a", "vec_b"),
       Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
              |  FROM embeddings)
@@ -159,7 +161,7 @@ object LlmQueries {
              |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
              |WHERE ROUND(list_dot_product(a.vec, b.vec) /
              |    (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))),
-             |    6) >= 0.9
+             |    6) >= 0.4
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
     // ----- multimodal -----------------------------------------------------

@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Fuzzy player-name normalization (the one genuine "engine extension"
   * in the reference — SURVEY §2.9).
   *
-  * Scorer: normalized indel similarity on 0–100, i.e.
-  * `100 * (1 - indel(a,b) / (|a|+|b|))` with `indel = |a|+|b| - 2*LCS`
-  * — the `ratio` scorer family of the rapidfuzz library the reference
-  * uses (reference: pipeline_2026/ex_match_bs.py:198-210). Cutoffs are
-  * preserved: player match ≥ 75, team-key match ≥ 70
-  * (ex_match_bs.py:198,256).
+  * Scorer: `WRatio` — the default scorer of rapidfuzz's
+  * `process.extractOne`, which the reference calls with no `scorer=`
+  * argument (reference: pipeline_2026/ex_match_bs.py:206,227,255).
+  * WRatio combines plain normalized-indel `ratio` with token-sort/
+  * token-set and partial (substring-aligned) variants, weighted by the
+  * length ratio of the inputs — this is what lets abbreviated names
+  * ("V Kohli" → "Virat Kohli") clear the cutoff where plain ratio
+  * scores them ~78. Cutoffs are preserved: player match ≥ 75, team-key
+  * match ≥ 70 (ex_match_bs.py:198,256).
   *
   * Scale shape (reference: ex_match_bs.py:249-259,323-336 and the 10×
   * claim at README.md:64):
@@ -55,12 +58,81 @@ object FuzzyNames {
     else 100.0 * (1.0 - indel(a, b).toDouble / total)
   }
 
-  /** Best choice with score >= cutoff; ties keep first (choice order). */
+  /** Best window-aligned ratio of the shorter string against every
+    * same-length substring of the longer (fuzz.partial_ratio). */
+  def partialRatio(a: String, b: String): Double = {
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
+    if (s.length == l.length) return ratio(s, l)
+    var best = 0.0
+    var i = 0
+    while (i <= l.length - s.length && best < 100.0) {
+      val r = ratio(s, l.substring(i, i + s.length))
+      if (r > best) best = r
+      i += 1
+    }
+    best
+  }
+
+  private def sortedTokens(s: String): String =
+    s.split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
+
+  /** fuzz.token_sort_ratio: ratio over alphabetically re-joined tokens. */
+  def tokenSortRatio(a: String, b: String): Double =
+    ratio(sortedTokens(a), sortedTokens(b))
+
+  private def tokenSets(a: String, b: String): (String, String, String) = {
+    val ta = a.split("\\s+").filter(_.nonEmpty).toSet
+    val tb = b.split("\\s+").filter(_.nonEmpty).toSet
+    (ta.intersect(tb).toSeq.sorted.mkString(" "),
+      ta.diff(tb).toSeq.sorted.mkString(" "),
+      tb.diff(ta).toSeq.sorted.mkString(" "))
+  }
+
+  /** fuzz.token_set_ratio: best pairwise ratio over
+    * {common, common+diffA, common+diffB}. */
+  def tokenSetRatio(a: String, b: String): Double = {
+    val (sect, da, db) = tokenSets(a, b)
+    val t1 = (sect + " " + da).trim
+    val t2 = (sect + " " + db).trim
+    math.max(ratio(sect, t1), math.max(ratio(sect, t2), ratio(t1, t2)))
+  }
+
+  /** fuzz.partial_token_set_ratio: any shared token ⇒ 100. */
+  def partialTokenSetRatio(a: String, b: String): Double = {
+    val (sect, da, db) = tokenSets(a, b)
+    if (sect.nonEmpty) 100.0 else partialRatio(da, db)
+  }
+
+  /** rapidfuzz fuzz.WRatio — the weighted combination extractOne uses by
+    * default: plain ratio, boosted by token-order-insensitive scorers
+    * (×0.95) for similar lengths, or by partial (substring) scorers
+    * (×0.9, ×0.6 for very different lengths) otherwise. */
+  def wratio(a: String, b: String): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val (la, lb) = (a.length.toDouble, b.length.toDouble)
+    val lenRatio = math.max(la, lb) / math.min(la, lb)
+    val base = ratio(a, b)
+    if (lenRatio < 1.5) {
+      val tok = math.max(tokenSortRatio(a, b), tokenSetRatio(a, b))
+      math.max(base, tok * 0.95)
+    } else {
+      val pScale = if (lenRatio < 8.0) 0.9 else 0.6
+      val pTok = math.max(partialRatio(sortedTokens(a), sortedTokens(b)),
+        partialTokenSetRatio(a, b))
+      math.max(base,
+        math.max(partialRatio(a, b) * pScale, pTok * 0.95 * pScale))
+    }
+  }
+
+  /** Best choice with WRatio score >= cutoff; ties keep first (choice
+    * order) — mirrors rapidfuzz process.extractOne's strict-improvement
+    * scan. */
   def extractOne(query: String, choices: Seq[String], cutoff: Double): Option[String] = {
     var best: String = null
     var bestScore = -1.0
     choices.foreach { c =>
-      val s = ratio(query, c)
+      val s = wratio(query, c)
       if (s > bestScore) { bestScore = s; best = c }
     }
     if (best != null && bestScore >= cutoff) Some(best) else None

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.{Pipeline, io => gio}
+import graft.bronze.{EventDecode, Innings}
+import graft.model.Schemas
+import graft.silver.Enrich
+
+/** Streaming/incremental ingestion (SURVEY §2.10, T1–T5).
+  *
+  * The reference is an S3-event → Lambda → Glue cascade: each new raw
+  * CSV triggers bronze append+dedup+rewrite for its match, then a silver
+  * partition replace (reference: pipeline_2026/ex_match_rb.py:156-236,
+  * ex_match_bs.py:461-472). Spark-first formulation:
+  *
+  *  - T1 event trigger  → Structured Streaming file source over the raw
+  *    directory (`Trigger.AvailableNow` = drain-everything-new, the
+  *    batch-queue semantics of the reference's event bus);
+  *  - T2 append + dedup → `foreachBatch`: merge the batch's decoded rows
+  *    with the stored bronze rows of the affected matches, first-wins
+  *    keyed dedup (new rows get a seq offset past the stored maximum, so
+  *    re-delivered duplicates lose to their original);
+  *  - T3 partition replace → dynamic partition overwrite of exactly the
+  *    affected `match` (bronze) and `(match, innings)` (silver)
+  *    partitions — untouched matches are never rewritten;
+  *  - T5 late/duplicate data → same dedup; state never expires, matching
+  *    the reference (no watermark exists there).
+  *
+  * Scale: each micro-batch shuffles only the affected matches' rows; the
+  * checkpoint dir gives exactly-once file processing. At 100 TB the unit
+  * of work stays one match (a few thousand rows), not the table.
+  */
+object Incremental {
+
+  /** Process one micro-batch of raw snapshot rows (exposed for tests +
+    * reuse by a non-streaming backfill). */
+  def processBatch(spark: SparkSession, rawBatch: DataFrame, meta: DataFrame,
+                   bronzePath: String, silverPath: String,
+                   players: Option[DataFrame] = None): Unit = {
+    if (rawBatch.isEmpty) return
+    val decoded = EventDecode.decode(rawBatch)
+    val matches = decoded.select("match").distinct()
+      .collect().map(_.getString(0)).toSeq
+
+    val merged =
+      if (gio.Tables.tableExists(spark, bronzePath)) {
+        val existing = spark.read.parquet(bronzePath)
+          .where(col("match").isin(matches: _*))
+          .select(decoded.columns.map(col): _*)
+        val maxSeq = existing.agg(max("seq")).first() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0) + 1
+        }
+        existing.unionByName(
+          decoded.withColumn("seq", col("seq") + lit(maxSeq)))
+      } else decoded
+
+    val bronze = Innings.addInnings(Pipeline.dedupDecoded(merged))
+    bronze.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("match").parquet(bronzePath)
+
+    // Re-read the just-written partitions so silver derives from the
+    // stored bronze (the reference's silver job reads the bronze file).
+    val storedBronze = spark.read.parquet(bronzePath)
+      .where(col("match").isin(matches: _*))
+    val silver = Enrich.transform(spark, storedBronze, meta, players)
+    silver.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("match", "innings").parquet(silverPath)
+  }
+
+  /** T1: watch `rawDir` for new CSV snapshots and upsert bronze+silver
+    * per micro-batch. `AvailableNow` drains everything unprocessed and
+    * terminates — call again to pick up later arrivals (the reference's
+    * polling loop, ex_match_raw.py:270-271). */
+  def run(spark: SparkSession, rawDir: String, meta: DataFrame,
+          bronzePath: String, silverPath: String, checkpoint: String,
+          players: Option[DataFrame] = None): StreamingQuery = {
+    val stream = spark.readStream
+      .option("header", "true")
+      .schema(Schemas.rawBall)
+      .csv(rawDir)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, batch, meta, bronzePath, silverPath, players)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.streaming.Incremental
+
+/** Streaming/incremental contract (SURVEY §2.10): draining the raw
+  * directory in two AvailableNow passes produces the same silver table as
+  * one batch run, and re-delivered duplicate snapshots are idempotent.
+  */
+class IncrementalSpec extends SparkSpec {
+
+  private def writeMatchCsvs(dir: String, matchIds: Seq[String]): Unit = {
+    val (rawRows, _) = Fixtures.seasonRows
+    val header = "match,date,time,venue,over,ball,bowler,batsman,ball_event,event_info,extract_time"
+    matchIds.foreach { m =>
+      val lines = rawRows.filter(_.getString(0) == m).map { r =>
+        (0 until 11).map(i => Option(r.getString(i)).getOrElse("")).mkString(",")
+      }
+      Files.write(Paths.get(s"$dir/$m.csv"),
+        (header +: lines).mkString("\n").getBytes("UTF-8"))
+    }
+  }
+
+  private def silverSummary(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("match", "innings", "over", "ball", "rebowl", "runs",
+        "total_runs", "score", "fallen_wickets", "batting_team",
+        "bowling_team", "wicket_method")
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("two incremental drains == one batch run; duplicate redelivery is a no-op") {
+    val base = Files.createTempDirectory("graft-incr").toString
+    val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
+    val bronzePath = s"$base/bronze"; val silverPath = s"$base/silver"
+    val ckpt = s"$base/ckpt"
+
+    val (_, meta) = Fixtures.rawSeason(spark)
+    val allMatches = meta.select("short_name").collect().map(_.getString(0)).toSeq
+    val (firstHalf, secondHalf) = allMatches.splitAt(allMatches.size / 2)
+
+    // drain 1: first half of the season
+    writeMatchCsvs(rawDir, firstHalf)
+    Incremental.run(spark, rawDir, meta, bronzePath, silverPath, ckpt)
+      .awaitTermination()
+    val afterFirst = spark.read.parquet(silverPath)
+    assert(afterFirst.select("match").distinct().count() === firstHalf.size.toLong)
+
+    // drain 2: rest of the season + a re-delivered duplicate of match 1
+    writeMatchCsvs(rawDir + "/", secondHalf)
+    val dup = Paths.get(s"$rawDir/${firstHalf.head}.csv")
+    Files.copy(dup, Paths.get(s"$rawDir/${firstHalf.head}_redelivery.csv"))
+    Incremental.run(spark, rawDir, meta, bronzePath, silverPath, ckpt)
+      .awaitTermination()
+
+    val incremental = spark.read.parquet(silverPath)
+    val (rawAll, _) = Fixtures.rawSeason(spark)
+    val batch = Pipeline.toSilver(spark, Pipeline.toBronze(rawAll), meta)
+
+    assert(silverSummary(incremental) === silverSummary(batch))
+
+    // drain 3: nothing new → silver unchanged (idempotence)
+    Incremental.run(spark, rawDir, meta, bronzePath, silverPath, ckpt)
+      .awaitTermination()
+    assert(silverSummary(spark.read.parquet(silverPath)) === silverSummary(batch))
+  }
+
+  test("bronze dedup is deterministic under input repartitioning") {
+    val (raw, _) = Fixtures.rawSeason(spark)
+    // duplicate every row (re-scrape overlap), shuffle partitioning
+    val doubled = raw.unionByName(raw)
+    def summarize(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Pipeline.toBronze(df)
+        .select("match", "innings", "over", "ball", "score", "fallen_wickets")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val a = summarize(doubled.repartition(8))
+    val b = summarize(doubled.repartition(3))
+    val c = summarize(raw)
+    assert(a === b)
+    assert(a === c)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Quality contracts for the approximate LLM-pipeline operators, asserted
+  * against their exact counterparts (these have no DuckDB oracle — the
+  * hash seeds are engine-internal).
+  */
+class LlmOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // Synthetic corpus with planted near-duplicates: base docs + mutated
+  // copies (drop/replace a few tokens) + exact copies.
+  private lazy val corpus = {
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon".split(" ")
+    def doc(seed: Int, n: Int): String = {
+      var s = seed.toLong
+      (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        words((((s >>> 33) % words.length).toInt + words.length) % words.length)
+      }.mkString(" ")
+    }
+    val bases = (0 until 20).map(i => (i.toLong, doc(i * 31 + 7, 40), "en"))
+    val nearDups = (0 until 6).map { i =>
+      val base = bases(i)._2.split(" ")
+      val mutated = base.take(36).mkString(" ") + " omega psi chi phi"
+      (100L + i, mutated, "en")
+    }
+    val exactDups = (0 until 3).map(i => (200L + i, bases(i)._2, "en"))
+    spark.createDataFrame(bases ++ nearDups ++ exactDups)
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("exact dedup groups exact copies under the min doc_id") {
+    val groups = Dedup.exactGroups(corpus)
+      .where(col("dup_count") > 1).collect()
+    assert(groups.length === 3)
+    assert(groups.forall(_.getLong(1) < 20)) // canonical = base doc id
+    assert(groups.forall(_.getLong(2) === 2L))
+  }
+
+  test("MinHash-LSH finds every exact duplicate and high-Jaccard pair") {
+    val exact = Dedup.jaccardPairs(corpus, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val lsh = Dedup.minhashLshPairs(corpus, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    // precision: LSH output is exact-verified, so it must be a subset
+    assert(lsh.subsetOf(exact))
+    // recall on strong pairs (J >= 0.7): banding (b=16, r=4) detects
+    // these with prob > 0.98 each
+    val strong = exact.filter(_._3 >= 0.7)
+    assert(strong.nonEmpty)
+    val found = strong.count(lsh.contains)
+    assert(found.toDouble / strong.size >= 0.9,
+      s"LSH recall ${found.toDouble / strong.size} on ${strong.size} strong pairs")
+    // the planted exact copies (J = 1.0) are always found
+    assert(lsh.exists { case (a, b, j) => j === 1.0 && b >= 200 && a < 20 })
+  }
+
+  test("SimHash: identical token sets collide, distinct ones don't (here)") {
+    val sigs = Dedup.simhashSignatures(corpus)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    (0 until 3).foreach { i =>
+      assert(sigs(i.toLong) === sigs(200L + i), s"exact dup $i hash differs")
+    }
+    assert(sigs.values.toSet.size > 15)
+  }
+
+  test("ANN (hyperplane LSH) recalls most exact top-5 neighbors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Similarity.exactTopK(emb, 5, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(emb, 5, 5, tables = 8, bits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall < 0.6 (${exact.size} truth pairs)")
+  }
+
+  test("multimodal: payload schema + batched stub decode") {
+    val media = Multimodal.attachPayload(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val feats = Multimodal.extractFeatures(spark, media, batchSize = 16)
+      .collect()
+    assert(feats.nonEmpty)
+    // batch shape: every row decoded within a batch of <= 16
+    assert(feats.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 16))
+    assert(feats.exists(_.getInt(2) > 1))
+    // deterministic stub: features(0) = byte length
+    val one = feats.head
+    assert(one.getSeq[Float](1).head > 0)
+  }
+
+  test("decode stub is deterministic") {
+    val bytes = "hello world".getBytes("UTF-8")
+    assert(Multimodal.decodeBytesStub(bytes).toSeq ===
+      Multimodal.decodeBytesStub(bytes).toSeq)
+    assert(Multimodal.decodeBytesStub(bytes).head === bytes.length.toFloat)
+  }
+}
