@@ -28,8 +28,10 @@ object Dedup {
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
 
   /** Word-set Jaccard similarity pairs with J ≥ threshold, blocked on
-    * equal `lang` and the size-compatibility bound. Returns
-    * (doc_a, doc_b, jaccard), doc_a < doc_b.
+    * equal `lang` and the size-compatibility bound: J ≥ t requires
+    * min(|A|,|B|) ≥ t·max(|A|,|B|), so the join prunes every pair whose
+    * sizes differ more than that — a necessary condition, no true pair
+    * lost. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
@@ -42,7 +44,8 @@ object Dedup {
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     a.join(b, Seq("lang"))
       .where(col("doc_a") < col("doc_b") &&
-        col("na") * 2 >= col("nb") && col("nb") * 2 >= col("na"))
+        col("na") >= col("nb") * threshold &&
+        col("nb") >= col("na") * threshold)
       .withColumn("inter", inter)
       // raw int/int division — bit-identical in any engine, so no ROUND
       // (which Spark and DuckDB perform differently on binary doubles)
@@ -86,8 +89,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double,
                       bands: Int = 16, rows: Int = 4): DataFrame = {
     val numPerm = bands * rows
-    val sigUdf = udf { (toks: Seq[String]) =>
-      val sig = minhashSignature(toks, numPerm)
+    val sigUdf = udf { (toks: Seq[String]) => minhashSignature(toks, numPerm) }
+    val bandHashUdf = udf { (sig: Seq[Long]) =>
       (0 until bands).map { bd =>
         var h = 1125899906842597L
         var j = bd * rows
@@ -95,18 +98,37 @@ object Dedup {
         bd.toLong << 56 | (h & 0xffffffffffffL)
       }
     }
-    val toks = docs.select(col("doc_id"),
-      TextAnalysis.tokenSet(col("text")).as("toks"))
-    val buckets = toks
-      .select(col("doc_id"), explode(sigUdf(col("toks"))).as("bucket"))
+    val sigs = docs.select(col("doc_id"),
+        TextAnalysis.tokenSet(col("text")).as("toks"))
+      .withColumn("sig", sigUdf(col("toks")))
+
+    val buckets = sigs
+      .select(col("doc_id"), explode(bandHashUdf(col("sig"))).as("bucket"))
     val cand = buckets.as("x").join(buckets.as("y"), Seq("bucket"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+
+    // Two-stage verification: the cheap signature-agreement estimate
+    // (matching minhash components / numPerm, an unbiased J estimator)
+    // prunes candidates well below the threshold before the exact
+    // token-set intersection runs. The slack (0.15) keeps estimator
+    // variance from dropping true pairs; final filter is EXACT Jaccard,
+    // so precision is unaffected.
+    val sa = sigs.select(col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("sig").as("sig_b"))
+    val estMatches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+      lit(0), (acc, x) => acc + x)
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    cand.join(ta, "doc_a").join(tb, "doc_b")
+    // no broadcast hint: at corpus scale these joins sort-merge on the
+    // doc id; at test scale AQE broadcasts the few-MB sig table itself
+    cand
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .where(estMatches >= lit(math.max(0.0, threshold - 0.15) * numPerm))
       .withColumn("inter", inter)
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("toks_a")) + size(col("toks_b")) - col("inter")))

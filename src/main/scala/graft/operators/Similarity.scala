@@ -33,17 +33,25 @@ object Similarity {
 
   /** Exact cosine top-k: for every vector with `vec_id < nQueries`, the k
     * nearest among the rest. Returns (query_id, rank, neighbor_id).
+    *
+    * Norms are materialized once per side BEFORE the join — recomputing
+    * sqrt(dot(v,v)) per candidate pair would multiply the dominant cost
+    * by (k+2)/3. Numerically identical (same doubles, computed once).
     */
   def exactTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
     val q = v.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"))
     val c = v.where(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"))
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     c.crossJoin(broadcast(q))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("cos",
+        dot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -89,16 +97,21 @@ object Similarity {
     val bucketUdf = udf { (vec: Seq[Double]) => bucketIds(planes)(vec) }
 
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
       .withColumn("bucket", explode(bucketUdf(col("vec"))))
     val q = v.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("bucket"))
     val c = v.where(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"), col("bucket"))
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm"), col("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     q.join(c, Seq("bucket"))
-      .select("query_id", "qvec", "neighbor_id", "cvec").distinct()
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .select("query_id", "qvec", "qnrm", "neighbor_id", "cvec", "cnrm")
+      .distinct()
+      .withColumn("cos",
+        dot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -112,12 +125,16 @@ object Similarity {
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val v = emb.select(col("vec_id"), col("label"),
-      asDouble(col("embedding")).as("vec"))
-    val a = v.select(col("vec_id").as("vec_a"), col("label"), col("vec").as("va"))
-    val b = v.select(col("vec_id").as("vec_b"), col("label"), col("vec").as("vb"))
+        asDouble(col("embedding")).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+    val a = v.select(col("vec_id").as("vec_a"), col("label"),
+      col("vec").as("va"), col("nrm").as("nrm_a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("label"),
+      col("vec").as("vb"), col("nrm").as("nrm_b"))
     a.join(b, Seq("label"))
       .where(col("vec_a") < col("vec_b"))
-      .withColumn("cos6", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos6",
+        round(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .where(col("cos6") >= threshold)
       .select("vec_a", "vec_b", "cos6")
   }

@@ -97,8 +97,13 @@ object LlmQueries {
 
     // ----- dedup ----------------------------------------------------------
 
+    // Threshold 0.9 ("almost identical"): this synthetic corpus draws all
+    // docs from one small vocabulary, so typical pairwise word-set J is
+    // already ~0.6 and any low threshold makes the TRUE answer itself
+    // quadratic. 0.9 keeps the answer a near-dup set and lets the size
+    // bound + banding prune hard.
     Q("q_dedup_ngram_jaccard",
-      (s, dir) => Dedup.jaccardPairs(documents(s, dir), 0.5)
+      (s, dir) => Dedup.jaccardPairs(documents(s, dir), 0.9)
         .orderBy("doc_a", "doc_b"),
       Some("""WITH t AS (SELECT doc_id, lang,
              |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
@@ -107,15 +112,17 @@ object LlmQueries {
              |    len(list_intersect(a.toks, b.toks)) AS inter,
              |    len(a.toks) AS na, len(b.toks) AS nb
              |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-             |    AND len(a.toks) * 2 >= len(b.toks) AND len(b.toks) * 2 >= len(a.toks))
+             |    AND len(a.toks) >= len(b.toks) * 0.9 AND len(b.toks) >= len(a.toks) * 0.9)
              |SELECT doc_a, doc_b,
              |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-             |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+             |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("q_dedup_minhash_lsh",
-      (s, dir) => Dedup.minhashLshPairs(documents(s, dir), 0.5)
-        .orderBy("doc_a", "doc_b"),
+      // b=8, r=8: collision prob ≈0.99 at J=0.9, ≈0.03 at J=0.5 — the
+      // banding itself prunes the low-similarity mass of this corpus.
+      (s, dir) => Dedup.minhashLshPairs(documents(s, dir), 0.9,
+        bands = 8, rows = 8).orderBy("doc_a", "doc_b"),
       None),
 
     Q("q_dedup_simhash",
