@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays, composed from
+    * built-in higher-order functions. Session-free but interpreted
+    * (HOFs are CodegenFallback) — the hot paths below use the native
+    * codegen'd [[graft.plans.DotProduct]] instead, which accumulates in
+    * the identical left-to-right order (bit-equal results). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -39,8 +43,9 @@ object Similarity {
     * by (k+2)/3. Numerically identical (same doubles, computed once).
     */
   def exactTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
+      .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
     val q = v.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"))
@@ -51,7 +56,7 @@ object Similarity {
       .orderBy(desc("cos"), asc("neighbor_id"))
     c.crossJoin(broadcast(q))
       .withColumn("cos",
-        dot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
+        ndot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -96,8 +101,9 @@ object Similarity {
     val planes = hyperplanes(tables, bits, dim)
     val bucketUdf = udf { (vec: Seq[Double]) => bucketIds(planes)(vec) }
 
+    val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
+      .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
       .withColumn("bucket", explode(bucketUdf(col("vec"))))
     val q = v.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
@@ -111,7 +117,7 @@ object Similarity {
       .select("query_id", "qvec", "qnrm", "neighbor_id", "cvec", "cnrm")
       .distinct()
       .withColumn("cos",
-        dot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
+        ndot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -124,9 +130,10 @@ object Similarity {
     * same role when no label exists). Returns (vec_a, vec_b, cos6).
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
     val v = emb.select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
+      .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
     val a = v.select(col("vec_id").as("vec_a"), col("label"),
       col("vec").as("va"), col("nrm").as("nrm_a"))
     val b = v.select(col("vec_id").as("vec_b"), col("label"),
@@ -134,7 +141,7 @@ object Similarity {
     a.join(b, Seq("label"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cos6",
-        round(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
+        round(ndot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .where(col("cos6") >= threshold)
       .select("vec_a", "vec_b", "cos6")
   }

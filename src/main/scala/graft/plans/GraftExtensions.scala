@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension installing graft's native expressions.
+  *
+  * Usage:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)         // or
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * Sessions created without the extension can call
+  * [[DotProduct.register]] for the same effect at runtime.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      DotProduct.builder))
+  }
+}

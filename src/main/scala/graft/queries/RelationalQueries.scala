@@ -480,6 +480,16 @@ object RelationalQueries {
              |    x -> upper(x[1]) || x[2:]), ' ') AS pretty_name
              |FROM region ORDER BY r_regionkey""".stripMargin)),
 
+    Q("q_f15_timestamp",
+      // extract_time stamping (ex_match_raw.py:122). current_timestamp is
+      // nondeterministic ⇒ no oracle; driver records a rows-only check.
+      (s, dir) => nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"),
+          current_timestamp().as("extract_time"),
+          unix_timestamp(current_timestamp()).as("extract_epoch"))
+        .orderBy("n_nationkey"),
+      None),
+
     Q("q_fjson_extract",
       (s, dir) => ev(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
