@@ -33,6 +33,14 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     patternCount(text, "\\b(the|a|of|and|to|is|in)\\b")
 
+  /** BPE-ish subword token count: a GPT-2-style pretokenizer regex
+    * (letter runs / digit runs / punctuation runs, optionally
+    * space-prefixed), restricted to RE2-compatible syntax so the DuckDB
+    * oracle evaluates the identical pattern. */
+  val bpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  def bpeTokenCount(text: Column): Column = patternCount(text, bpePattern)
+
   /** Per-language marker counts for the n-gram/stopword language-ID
     * heuristic. Kept deliberately simple & deterministic (the point is the
     * operator shape: per-row scoring, zero shuffles, argmax decode). */

@@ -113,9 +113,70 @@ object Similarity {
         col("nrm").as("cnrm"), col("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
-    q.join(c, Seq("bucket"))
-      .select("query_id", "qvec", "qnrm", "neighbor_id", "cvec", "cnrm")
-      .distinct()
+    // candidate DEDUP runs on the id pair only — distinct over the full
+    // vectors would shuffle every embedding once per colliding bucket;
+    // vectors re-attach afterwards by id (q is small ⇒ broadcast).
+    val candidateIds = q.select("query_id", "bucket")
+      .join(c.select("neighbor_id", "bucket"), Seq("bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    candidateIds
+      .join(c.select("neighbor_id", "cvec", "cnrm").distinct(), Seq("neighbor_id"))
+      .join(broadcast(q.select("query_id", "qvec", "qnrm").distinct()), Seq("query_id"))
+      .withColumn("cos",
+        ndot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    * each vector assigned to its nearest centroid's list; a query probes
+    * only the `nProbe` closest lists. The classic ANN scale path when an
+    * LSH bucket key is too coarse: list sizes are balanced by clustering,
+    * and the probe set is an equi-join on the list id. Deterministic via
+    * fixed KMeans seed.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
+    val feats = v.withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nLists).setSeed(7L).setMaxIter(10)
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("vec"), col("nrm"),
+        col("prediction").as("list_id"))
+
+    // nProbe nearest centroid lists per query (centroids are tiny —
+    // ranked driver-side-free via a literal array crossJoin).
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.toSeq)
+    }.toSeq
+    val centDf = spark.createDataFrame(centroids).toDF("list_id", "cvec_center")
+      .withColumn("cvec_center", col("cvec_center").cast("array<double>"))
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("center_dot"), asc("list_id"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("center_dot", ndot(col("qvec"), col("cvec_center")))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .where(col("probe_rank") <= nProbe)
+      .select("query_id", "qvec", "qnrm", "list_id")
+
+    val cand = assigned.where(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm"), col("list_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(probes).join(cand, Seq("list_id"))
       .withColumn("cos",
         ndot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
       .withColumn("rank", row_number().over(w))

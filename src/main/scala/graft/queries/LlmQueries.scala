@@ -88,6 +88,19 @@ object LlmQueries {
               |SELECT lang, $langIdCase AS predicted, COUNT(*) AS n
               |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin)),
 
+    Q("q_text_bpe_tokens",
+      (s, dir) => documents(s, dir).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).as("total_bpe_tokens"),
+          max(TextAnalysis.bpeTokenCount(col("text"))).as("max_bpe_tokens"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')))
+             |    AS BIGINT) AS total_bpe_tokens,
+             |  CAST(MAX(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')))
+             |    AS BIGINT) AS max_bpe_tokens
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("q_text_fingerprint_rolling",
       (s, dir) => documents(s, dir)
         .select(col("doc_id"),
@@ -151,6 +164,11 @@ object LlmQueries {
 
     Q("q_embed_ann_lsh",
       (s, dir) => Similarity.annTopK(embeddings(s, dir), 5, 5)
+        .orderBy("query_id", "rank"),
+      None),
+
+    Q("q_embed_ann_ivf",
+      (s, dir) => Similarity.ivfTopK(embeddings(s, dir), 5, 5)
         .orderBy("query_id", "rank"),
       None),
 

@@ -81,6 +81,16 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"ANN recall $recall < 0.6 (${exact.size} truth pairs)")
   }
 
+  test("ANN (IVF / k-means lists) recalls most exact top-5 neighbors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Similarity.exactTopK(emb, 5, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, 5, 5, nLists = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall < 0.6 (${exact.size} truth pairs)")
+  }
+
   test("multimodal: payload schema + batched stub decode") {
     val media = Multimodal.attachPayload(
       spark.read.parquet(s"$sf/documents.parquet"))
