@@ -12,15 +12,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/parquet-reader warmup so the first timed query doesn't
-    // absorb one-time startup cost (~4 s otherwise).
+    // JVM/JIT/codegen/parquet-reader warmup so whichever query the map
+    // happens to order first doesn't absorb one-time startup cost (the
+    // UDF+explode+array_intersect path alone is ~25 s of JIT on first
+    // execution at sf0.1).
     locally {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, Similarity}
       spark.read.parquet(s"$sfDir/nation.parquet")
         .withColumn("rn", row_number().over(
           Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
         .agg(sum("rn")).collect()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      Dedup.minhashLshPairs(docs, 0.9, bands = 8, rows = 8).count()
+      Dedup.jaccardPairs(docs, 0.9).count()
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+      Similarity.exactTopK(emb, 2, 2).count()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

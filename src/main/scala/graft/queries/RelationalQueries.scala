@@ -157,6 +157,43 @@ object RelationalQueries {
               |SELECT nationkey, COUNT(*) AS n, ${sqlDsum("bal")} AS total_bal
               |FROM u GROUP BY nationkey ORDER BY nationkey""".stripMargin)),
 
+    // Beyond the reference surface (SURVEY §2.11 lists these as absent):
+    // grouping sets and set operators, standard engine capabilities a
+    // reference user would expect when switching.
+    Q("q_agg_rollup",
+      (s, dir) => li(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+              |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+              |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q_set_intersect",
+      (s, dir) => customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .intersect(supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    Q("q_set_except",
+      // p_size (1..50) \ nationkeys (0..24) — non-empty at every SF
+      (s, dir) => part(s, dir).select(col("p_size").as("k"))
+        .except(nation(s, dir).select(col("n_nationkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT p_size AS k FROM part
+             |EXCEPT
+             |SELECT n_nationkey FROM nation
+             |ORDER BY k""".stripMargin)),
+
     // ----- joins ----------------------------------------------------------
 
     Q("q_j1_dim_join_broadcast",
