@@ -33,16 +33,26 @@ object Dedup {
     * sizes differ more than that — a necessary condition, no true pair
     * lost. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
     */
+  /** Salt factor for the lang-blocked self-join: `lang` alone has a
+    * handful of values, so the join would compute every block's pair
+    * explosion in as many tasks. Side A pins a deterministic salt from
+    * its doc id, side B replicates across all salts — each pair still
+    * matches exactly once, but on (lang, salt) the parallelism (and the
+    * 100 TB skew profile) improves by the factor. */
+  private val JaccardSalts = 16
+
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       TextAnalysis.tokenSet(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")))
     val a = toks.select(col("doc_id").as("doc_a"), col("lang"),
       col("toks").as("toks_a"), col("n_toks").as("na"))
+      .withColumn("salt", pmod(col("doc_a"), lit(JaccardSalts)).cast("int"))
     val b = toks.select(col("doc_id").as("doc_b"), col("lang"),
       col("toks").as("toks_b"), col("n_toks").as("nb"))
+      .withColumn("salt", explode(lit((0 until JaccardSalts).toArray)))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    a.join(b, Seq("lang"))
+    a.join(b, Seq("lang", "salt")).drop("salt")
       .where(col("doc_a") < col("doc_b") &&
         col("na") >= col("nb") * threshold &&
         col("nb") >= col("na") * threshold)
