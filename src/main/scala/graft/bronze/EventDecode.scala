@@ -82,9 +82,12 @@ object EventDecode {
     val rebowl    = when(isExtra, extrasRebowl).when(isFiveWides, 1).otherwise(0)
 
     val wicket = when(isOut, 1).otherwise(0)
+    // `get` (not getItem): a bare "out" event has no method token — the
+    // reference IndexErrors there (ex_match_rb.py:97); under ANSI mode
+    // getItem would likewise throw. Null-safe lookup + "Unknown".
     val wicketMethod =
       when(isOut && isRunOut, "Run Out")
-        .when(isOut, split(ev, " ").getItem(1))
+        .when(isOut, coalesce(get(split(ev, " "), lit(1)), lit("Unknown")))
         .otherwise("Not Out")
     val outBatsman =
       when(isOut && isRunOut, regexp_extract(ev, "^out (.*?) run out!", 1))

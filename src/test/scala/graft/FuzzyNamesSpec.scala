@@ -55,6 +55,22 @@ class FuzzyNamesSpec extends AnyFunSuite {
     assert(extractOne("Zzzz Qqqq", squad, 75.0) === None)
   }
 
+  test("teamChoices scopes candidates to the squad, fuzzy team key at 70") {
+    val squads = Map(
+      "Mumbai Indians" -> Seq("Rohit Sharma", "Jasprit Bumrah"),
+      "Chennai Super Kings" -> Seq("MS Dhoni"))
+    val all = squads.values.flatten.toSeq
+    // exact team key
+    assert(teamChoices("Mumbai Indians", squads, all) === Seq("Rohit Sharma", "Jasprit Bumrah"))
+    // misspelled team key fuzzy-matches at cutoff 70 (X2)
+    assert(teamChoices("Mumbai Indian", squads, all) === Seq("Rohit Sharma", "Jasprit Bumrah"))
+    // unknown team falls back to the full catalog
+    assert(teamChoices("Gotham Knights", squads, all) === all)
+    // null/N-A team → full catalog
+    assert(teamChoices(null, squads, all) === all)
+    assert(teamChoices("N/A", squads, all) === all)
+  }
+
   test("matchPlayerName passthroughs") {
     assert(matchPlayerName(null, Seq("A")) === "N/A")
     assert(matchPlayerName("N/A", Seq("A")) === "N/A")

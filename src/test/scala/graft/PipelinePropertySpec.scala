@@ -20,7 +20,9 @@ class PipelinePropertySpec extends AnyFunSuite {
   private val events = Gen.oneOf(
     "no run", "1 run", "2 runs", "3 runs", "four", "six", "5 runs",
     "wide", "no ball", "byes", "leg byes", "5 wides",
-    "out Bowled", "out Caught", "out Xx Run Out! direct")
+    "out Bowled", "out Caught", "out Xx Run Out! direct",
+    // garbage the scraper can produce: unknown text decodes to 0 runs
+    "", "???", "rain delay", "OUT", "4")
 
   private val infoGen = Gen.oneOf("", "1 run", "2 runs", "no run")
 
