@@ -33,24 +33,28 @@ object Dedup {
     * sizes differ more than that — a necessary condition, no true pair
     * lost. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
     */
-  /** Salt factor for the lang-blocked self-join: `lang` alone has a
-    * handful of values, so the join would compute every block's pair
-    * explosion in as many tasks. Side A pins a deterministic salt from
-    * its doc id, side B replicates across all salts — each pair still
-    * matches exactly once, but on (lang, salt) the parallelism (and the
-    * 100 TB skew profile) improves by the factor. */
-  private val JaccardSalts = 16
-
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** `salts` — skew control for the lang-blocked self-join when the
+    * corpus outgrows the broadcast threshold: a blocking key with a
+    * handful of values makes a sort-merge join compute every block's
+    * pair explosion in that many tasks. With salts = N, side A pins a
+    * deterministic salt from its doc id and side B replicates across
+    * all N — each pair still matches exactly once, on (lang, salt), so
+    * output is identical while join parallelism multiplies by N.
+    * Default 1 (no-op): while the token table broadcasts, the join is
+    * already input-partition-parallel and salting only pays N×
+    * replication (measured +40% at sf0.1).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   salts: Int = 1): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       TextAnalysis.tokenSet(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")))
     val a = toks.select(col("doc_id").as("doc_a"), col("lang"),
       col("toks").as("toks_a"), col("n_toks").as("na"))
-      .withColumn("salt", pmod(col("doc_a"), lit(JaccardSalts)).cast("int"))
+      .withColumn("salt", pmod(col("doc_a"), lit(salts)).cast("int"))
     val b = toks.select(col("doc_id").as("doc_b"), col("lang"),
       col("toks").as("toks_b"), col("n_toks").as("nb"))
-      .withColumn("salt", explode(lit((0 until JaccardSalts).toArray)))
+      .withColumn("salt", explode(lit((0 until salts).toArray)))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     a.join(b, Seq("lang", "salt")).drop("salt")
       .where(col("doc_a") < col("doc_b") &&

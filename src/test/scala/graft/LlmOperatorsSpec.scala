@@ -42,6 +42,17 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(groups.forall(_.getLong(2) === 2L))
   }
 
+  test("salted jaccard join output is identical to unsalted") {
+    val plain = Dedup.jaccardPairs(corpus, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val salted = Dedup.jaccardPairs(corpus, 0.5, salts = 4)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(plain === salted)
+    assert(plain.nonEmpty)
+  }
+
   test("MinHash-LSH finds every exact duplicate and high-Jaccard pair") {
     val exact = Dedup.jaccardPairs(corpus, 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
