@@ -175,4 +175,39 @@ object Dedup {
     docs.select(col("doc_id"),
         simhashUdf(TextAnalysis.tokenSet(col("text"))).as("simhash"))
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 48).cast("int"))
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming.
+    *
+    * Blocking is pigeonhole-exact for maxHamming ≤ 3: the 64-bit
+    * signature splits into 4 disjoint 16-bit chunks, and any pair
+    * within ≤ 3 differing bits must agree EXACTLY on at least one
+    * chunk — so the candidate join on (chunk index, chunk value) loses
+    * no true pair, and the verify step is a codegen'd
+    * bit_count(a XOR b). Same shuffle shape as MinHash banding: equi-
+    * join on the chunk key, never a cross product.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking is only exact for maxHamming <= 3")
+    val sigs = docs.select(col("doc_id"),
+      simhashUdf(TextAnalysis.tokenSet(col("text"))).as("simhash"))
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("chunk_idx"),
+          shiftrightunsigned(col("simhash"), i * 16)
+            .bitwiseAND(lit(0xffffL)).as("chunk_val"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.chunk_idx").as("chunk_idx"), col("c.chunk_val").as("chunk_val"))
+    val x = chunks.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("chunk_idx"), col("chunk_val"))
+    val y = chunks.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("chunk_idx"), col("chunk_val"))
+    x.join(y, Seq("chunk_idx", "chunk_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
 }

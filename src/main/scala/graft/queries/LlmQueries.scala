@@ -142,6 +142,11 @@ object LlmQueries {
       (s, dir) => Dedup.simhashSignatures(documents(s, dir)).orderBy("doc_id"),
       None),
 
+    Q("q_dedup_simhash_pairs",
+      (s, dir) => Dedup.simhashNearDupPairs(documents(s, dir), 3)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
     // ----- similarity search ----------------------------------------------
 
     Q("q_embed_knn_exact",

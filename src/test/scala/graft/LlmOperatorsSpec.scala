@@ -82,6 +82,24 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(sigs.values.toSet.size > 15)
   }
 
+  test("SimHash near-dup pairs match brute force exactly (pigeonhole blocking)") {
+    val pairs = Dedup.simhashNearDupPairs(corpus, 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    // planted exact copies collide at hamming 0
+    (0 until 3).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == 200L + i && p._3 == 0))
+    }
+    // chunk blocking is lossless for <= 3: equals the all-pairs answer
+    val sigs = Dedup.simhashSignatures(corpus)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(pairs === brute)
+  }
+
   test("ANN (hyperplane LSH) recalls most exact top-5 neighbors") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Similarity.exactTopK(emb, 5, 5)
