@@ -266,6 +266,41 @@ object RelationalQueries {
               |  FROM orders GROUP BY o_custkey) t ON o_custkey = ck
               |ORDER BY o_orderkey""".stripMargin)),
 
+    // Temporal joins — operators Spark lacks natively, composed scale-
+    // first (operators/TemporalJoins.scala); oracles use DuckDB's native
+    // ASOF JOIN / inequality join as the independent formulation.
+    Q("q_join_asof",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val purchases = e.where(col("event_type") === "purchase")
+          .select("user_id", "us", "value")
+        graft.operators.TemporalJoins
+          .asofBackward(e.select("event_id", "user_id", "us"), purchases,
+            Seq("user_id"), "us", "us", Map("value" -> "last_purchase"))
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("last_purchase"), lit(-1.0)).as("last_purchase"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |  COALESCE(p.value, -1.0) AS last_purchase
+             |FROM events e ASOF LEFT JOIN
+             |  (SELECT user_id, ts, value FROM events
+             |   WHERE event_type = 'purchase') p
+             |  ON e.user_id = p.user_id AND e.ts >= p.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
+    Q("q_join_range",
+      (s, dir) => graft.operators.TemporalJoins
+        .withinRange(ev(s, dir).select("user_id", "us", "event_id"),
+          Seq("user_id"), "us", "event_id", 60000000L)
+        .orderBy("user_id", "id_a", "id_b"),
+      Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+             |  epoch_us(b.ts) - epoch_us(a.ts) AS delta
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+             |ORDER BY a.user_id, id_a, id_b""".stripMargin)),
+
     // ----- windows --------------------------------------------------------
 
     Q("q_w1_sessionize",
