@@ -175,6 +175,37 @@ object RelationalQueries {
               |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    Q("q_agg_cube",
+      (s, dir) => orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+             |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    Q("q_agg_pivot",
+      // pivot with a pinned value list ⇒ one hash aggregation, no value
+      // discovery pass (A8's winner logic is the reference's nearest)
+      (s, dir) => customer(s, dir)
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY"))
+        .count().na.fill(0L)
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey,
+             |  CAST(SUM(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+             |  CAST(SUM(CASE WHEN c_mktsegment='BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+             |  CAST(SUM(CASE WHEN c_mktsegment='FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+             |  CAST(SUM(CASE WHEN c_mktsegment='HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+             |  CAST(SUM(CASE WHEN c_mktsegment='MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     Q("q_set_intersect",
       (s, dir) => customer(s, dir).select(col("c_nationkey").as("nationkey"))
         .intersect(supplier(s, dir).select(col("s_nationkey").as("nationkey")))
