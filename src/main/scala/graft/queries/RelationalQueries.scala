@@ -175,6 +175,19 @@ object RelationalQueries {
               |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    Q("q_agg_collect_sorted",
+      // array functions (collect_list/sort_array), folded to a scalar
+      // string so the oracle compare stays engine-neutral
+      (s, dir) => ev(s, dir).groupBy("user_id")
+        .agg(concat_ws(",",
+          sort_array(collect_list(col("event_type")))).as("type_seq"),
+          countDistinct("event_type").as("n_types"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  string_agg(event_type, ',' ORDER BY event_type) AS type_seq,
+             |  COUNT(DISTINCT event_type) AS n_types
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("q_agg_cube",
       (s, dir) => orders(s, dir)
         .cube("o_orderstatus", "o_orderpriority")
