@@ -56,9 +56,18 @@ object Fixtures {
         for (over <- 0 until 5) {
           var ball = 1
           var legal = 0
+          var attempt = 0
           while (legal < 6 && ball <= 9) {
             val ev = ballEvents(rng.next(ballEvents.length))
-            val info = if (ev == "wide" || ev == "leg byes") "1 run" else ""
+            // vary extras info by attempt: two consecutive wides to the
+            // same batsman would otherwise emit byte-identical raw rows,
+            // which the re-scrape dedup would (correctly) collapse —
+            // deleting a real delivery from the generated season
+            val info =
+              if (ev == "wide" || ev == "leg byes")
+                Seq("1 run", "no run", "2 runs")(attempt % 3)
+              else ""
+            attempt += 1
             raw += Row(id, s"Apr $matchNo", "19:30", s"Stadium ${matchNo % 3}",
               over.toString, ball.toString,
               bowls(over % bowls.length), bats(rng.next(bats.length)),

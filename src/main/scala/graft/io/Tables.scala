@@ -32,21 +32,32 @@ object Tables {
   def readBronzeNdjson(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val firstFile =
+    val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
-          .headOption.map(_.getPath)
-      else Some(p)
-    val isArray = firstFile.exists { f =>
+        fs.listStatus(p).filter(_.isFile).map(_.getPath).toSeq
+      else Seq(p)
+    // Per-FILE format decision (a directory may mix both, as the
+    // reference's :135-137 coercion produced): array-JSON iff the first
+    // non-whitespace byte is '['.
+    def isArray(f: Path): Boolean = {
       val in = fs.open(f)
-      try Iterator.continually(in.read()).take(256)
+      try Iterator.continually(in.read()).take(4096)
         .find(b => b == -1 || !Character.isWhitespace(b))
         .contains('['.toInt)
       finally in.close()
     }
+    val (arrayFiles, lineFiles) = files.partition(isArray)
     val reader = spark.read.schema(Schemas.bronzeDelivery)
-    if (isArray) reader.option("multiLine", "true").json(path)
-    else reader.json(path)
+    val parts = Seq(
+      if (lineFiles.nonEmpty) Some(reader.json(lineFiles.map(_.toString): _*)) else None,
+      if (arrayFiles.nonEmpty)
+        Some(spark.read.schema(Schemas.bronzeDelivery)
+          .option("multiLine", "true").json(arrayFiles.map(_.toString): _*))
+      else None).flatten
+    parts.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.bronzeDelivery))
   }
 
   /** S5/P6 — suffix-scoped directory scan: only files matching `glob`

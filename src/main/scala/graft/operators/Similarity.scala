@@ -102,26 +102,28 @@ object Similarity {
     val bucketUdf = udf { (vec: Seq[Double]) => bucketIds(planes)(vec) }
 
     val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val v0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
-      .withColumn("bucket", explode(bucketUdf(col("vec"))))
+    val v = v0.withColumn("bucket", explode(bucketUdf(col("vec"))))
     val q = v.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        col("nrm").as("qnrm"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("bucket"))
     val c = v.where(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
-        col("nrm").as("cnrm"), col("bucket"))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     // candidate DEDUP runs on the id pair only — distinct over the full
     // vectors would shuffle every embedding once per colliding bucket;
-    // vectors re-attach afterwards by id (q is small ⇒ broadcast).
-    val candidateIds = q.select("query_id", "bucket")
-      .join(c.select("neighbor_id", "bucket"), Seq("bucket"))
+    // vectors re-attach afterwards by id from the PRE-explosion frame
+    // (one copy per vector, no distinct needed; q side is small ⇒
+    // broadcast).
+    val candidateIds = q.join(c, Seq("bucket"))
       .select("query_id", "neighbor_id").distinct()
     candidateIds
-      .join(c.select("neighbor_id", "cvec", "cnrm").distinct(), Seq("neighbor_id"))
-      .join(broadcast(q.select("query_id", "qvec", "qnrm").distinct()), Seq("query_id"))
+      .join(v0.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("cvec"), col("nrm").as("cnrm")), Seq("neighbor_id"))
+      .join(broadcast(v0.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("vec").as("qvec"), col("nrm").as("qnrm"))), Seq("query_id"))
       .withColumn("cos",
         ndot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
       .withColumn("rank", row_number().over(w))

@@ -32,8 +32,13 @@ object TemporalJoins {
       rpay.as("_rpay"): _*).withColumn("_side", lit(0))
     val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
-    // right rows sort before left rows at equal time ⇒ inclusive (≤)
-    val w = Window.partitionBy(key.map(col): _*).orderBy(col("_t"), col("_side"))
+    // right rows sort before left rows at equal time ⇒ inclusive (≤);
+    // ties among right rows at the same time resolve deterministically
+    // to the greatest payload struct (field-order comparison) — without
+    // the payload in the sort key, `last` would pick a partition-order-
+    // dependent row.
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_rpay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val outCols: Seq[Column] =
       left.columns.toSeq.map(col) ++

@@ -442,7 +442,7 @@ object RelationalQueries {
       },
       Some("""SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_us
              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
     Q("q_o5_topk",
@@ -473,7 +473,7 @@ object RelationalQueries {
       Some("""SELECT user_id, event_type, event_id AS first_event_id,
              |  epoch_us(ts) AS first_us
              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-             |        ORDER BY ts, event_id) AS rn FROM events)
+             |        ORDER BY epoch_us(ts), event_id) AS rn FROM events)
              |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
 
     // ----- scalar functions ----------------------------------------------

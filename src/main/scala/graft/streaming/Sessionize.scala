@@ -12,7 +12,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * microseconds. Each micro-batch emits an updated snapshot of every
   * session it touched (Update semantics); the keyed state carries the
   * open tail of each user's last session across batches, so replaying a
-  * stream in any number of micro-batches converges to the batch answer.
+  * per-user time-ordered stream in any number of micro-batches converges
+  * to the batch answer exactly (late-arrival semantics on [[updateUser]]).
   *
   * Scale shape: state is one small record per user (not per event);
   * events shuffle once on user_id; per-batch work is O(batch) after the
@@ -30,6 +31,17 @@ object Sessionize {
     * sessions this user has seen so far. */
   case class UserTail(sessionId: Long, nEvents: Long, startUs: Long, lastUs: Long)
 
+  /** Late-data semantics (watermark-style): batches are folded in
+    * event-time order within the batch; an event arriving AFTER a later
+    * event has already extended the open session merges into that
+    * session if it falls within `gap` of the session's span (start/last
+    * adjust to cover it), and is DROPPED if it predates the open
+    * session's reach entirely — the closed history cannot be revised
+    * without unbounded state. Convergence with the batch answer is
+    * exact when micro-batches arrive per-user time-ordered (the file-
+    * source case tested), and degrades only by dropped too-late events
+    * otherwise.
+    */
   def updateUser(gapUs: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[UserTail]): Iterator[SessionSnapshot] = {
@@ -43,9 +55,13 @@ object Sessionize {
           out += SessionSnapshot(userId, tail.sessionId, tail.nEvents,
             tail.startUs, tail.lastUs)
         tail = UserTail(tail.sessionId + 1, 1L, e.us, e.us)
-      } else {
-        tail = tail.copy(nEvents = tail.nEvents + 1, lastUs = e.us)
+      } else if (e.us >= tail.startUs - gapUs) {
+        // in-order, or late-but-within-reach: extend span monotonically
+        tail = tail.copy(nEvents = tail.nEvents + 1,
+          startUs = math.min(tail.startUs, e.us),
+          lastUs = math.max(tail.lastUs, e.us))
       }
+      // else: too late for the open session — dropped (watermark)
     }
     out += SessionSnapshot(userId, tail.sessionId, tail.nEvents,
       tail.startUs, tail.lastUs)
@@ -91,14 +107,22 @@ object Sessionize {
               .join(batch.toDF(), Seq("user_id", "session_id"), "left_anti")
               .unionByName(batch.toDF())
           } else batch.toDF()
-        // write-to-temp + atomic swap: `updated` reads the current table
-        // lazily, so it must fully materialize before the old dir goes
+        // write-to-temp then swap via out -> old, tmp -> out: `updated`
+        // reads the current table lazily, so it must fully materialize
+        // before the old dir moves; the current table survives a crash
+        // at every step (worst case it sits at out_old for recovery),
+        // and rename results are checked rather than assumed.
         val out = new org.apache.hadoop.fs.Path(outPath)
         val tmp = new org.apache.hadoop.fs.Path(outPath + "_tmp")
-        updated.write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(outPath + "_old")
         val fs = out.getFileSystem(spark2.sparkContext.hadoopConfiguration)
-        fs.delete(out, true)
-        fs.rename(tmp, out)
+        fs.delete(tmp, true); fs.delete(old, true)
+        updated.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(out) && !fs.rename(out, old))
+          throw new java.io.IOException(s"swap failed: $out -> $old")
+        if (!fs.rename(tmp, out))
+          throw new java.io.IOException(s"swap failed: $tmp -> $out")
+        fs.delete(old, true)
         ()
       }
       .start()

@@ -24,7 +24,7 @@ object WindowedCounts {
     withTime
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        graft.queries.Tables.dsum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))

@@ -43,4 +43,19 @@ class DotProductSpec extends SparkSpec {
       .collect().head
     assert(r.isNullAt(0))
   }
+
+  test("ragged arrays and null elements yield null — parity with HOF form") {
+    DotProduct.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_dot(array(1.0d), array(1.0d, 2.0d)) AS ragged,
+        |  graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS withnull
+        |""".stripMargin).collect().head
+    assert(rows.isNullAt(0))
+    assert(rows.isNullAt(1))
+    // the composable formulation agrees
+    val hof = spark.range(1)
+      .select(Similarity.dot(array(lit(1.0)), array(lit(1.0), lit(2.0))).as("d"))
+      .collect().head
+    assert(hof.isNullAt(0))
+  }
 }

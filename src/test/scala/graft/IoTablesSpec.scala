@@ -47,6 +47,17 @@ class IoTablesSpec extends SparkSpec {
     assert(adf.where(col("runs") === 6).count() === 1)
   }
 
+  test("S2: mixed NDJSON and array-JSON files in ONE directory") {
+    write(s"$base/bronze3/a_brnz.json",
+      """{"match":"m1","over":0,"ball":1,"runs":4,"total_runs":4,"innings":1,"seq":0}""")
+    write(s"$base/bronze3/b_brnz.json",
+      """[{"match":"m2","over":0,"ball":1,"runs":6,"total_runs":6,"innings":1,"seq":0},
+        | {"match":"m2","over":0,"ball":2,"runs":1,"total_runs":1,"innings":1,"seq":1}]""".stripMargin)
+    val df = Tables.readBronzeNdjson(spark, s"$base/bronze3")
+    assert(df.count() === 3)
+    assert(df.where(col("runs").isNull).count() === 0)
+  }
+
   test("S3: multiLine meta JSON object") {
     val p = write(s"$base/meta/m1_meta.json",
       """{
