@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale (pushdown reaching the scan, broadcast dimension joins,
+  * top-k without a global sort, map-side partial aggregation, minimal
+  * exchanges around windows) are asserted on the optimized/executed
+  * plans, so a refactor that silently degrades a plan fails CI — not
+  * the 1000-executor cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_s1: filter is pushed to the parquet scan; schema pruned") {
+    val plan = executed("q_s1_scan_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      plan.take(800))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate"),
+      plan.take(800))
+  }
+
+  test("q_j1: dimension joins broadcast, never sort-merge") {
+    val plan = executed("q_j1_dim_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("q_o5: top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = executed("q_o5_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("q_a1: partial + final hash aggregation (map-side combine)") {
+    val plan = executed("q_a1_groupby_leaderboard")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("q_w1: both windows + the session agg share ONE user_id exchange") {
+    val plan = executed("q_w1_sessionize")
+    // exchanges: 1 hashpartitioning(user_id) for the windows+agg chain,
+    // 1 rangepartitioning for the output ORDER BY — nothing else
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size == 2, s"${exchanges.size} exchanges:\n${plan.take(1200)}")
+  }
+
+  test("flagship standings: the only unpartitioned window is the bounded rank") {
+    val plan = SparkEntry.entry(spark).queryExecution.optimizedPlan.toString
+    // team cardinality bounds the single-partition rank; anything else
+    // funneling to one partition is a regression
+    val singleParts = "SinglePartition".r.findAllIn(
+      SparkEntry.entry(spark).queryExecution.executedPlan.toString).size
+    assert(singleParts <= 1, s"$singleParts single-partition exchanges\n${plan.take(600)}")
+  }
+}
