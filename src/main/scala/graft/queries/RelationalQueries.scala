@@ -34,6 +34,22 @@ object RelationalQueries {
              |WHERE l_shipdate < TIMESTAMP '2001-01-01'
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    Q("q_p1_notnull_sentinel",
+      // P1's exact shape (drop null + 'N/A'-sentinel rows before
+      // aggregating); testdata has no nulls, so nullif manufactures them
+      (s, dir) => customer(s, dir)
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("MACHINERY")))
+        .withColumn("seg", when(col("seg") === "BUILDING", "N/A").otherwise(col("seg")))
+        .where(col("seg").isNotNull && col("seg") =!= "N/A")
+        .groupBy("seg").agg(count(lit(1)).as("n"))
+        .orderBy("seg"),
+      Some("""WITH c AS (SELECT CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+             |    WHEN c_mktsegment = 'BUILDING' THEN 'N/A'
+             |    ELSE c_mktsegment END AS seg FROM customer)
+             |SELECT seg, COUNT(*) AS n FROM c
+             |WHERE seg IS NOT NULL AND seg <> 'N/A'
+             |GROUP BY seg ORDER BY seg""".stripMargin)),
+
     Q("q_p2_eq_filter",
       (s, dir) => ev(s, dir).where(col("event_type") === "purchase")
         .groupBy("user_id")
