@@ -210,6 +210,27 @@ object LlmQueries {
              |  (CAST(octet_length(encode(text)) AS BIGINT) + 1023) // 1024 AS chunks
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Approximate aggregates (sketches) — the 100 TB path for distinct
+    // counts / quantiles. Sketch internals are engine-specific, so no
+    // cross-engine oracle exists; accuracy vs exact is asserted in
+    // ApproxAggSpec instead (rows-only here).
+    Q("q_approx_distinct",
+      (s, dir) => {
+        val e = events(s, dir)
+        e.groupBy("event_type").agg(
+          approx_count_distinct("user_id", 0.02).as("approx_users"),
+          approx_count_distinct("event_id", 0.02).as("approx_events"))
+          .orderBy("event_type")
+      },
+      None),
+
+    Q("q_approx_quantiles",
+      (s, dir) => events(s, dir).groupBy("event_type").agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"))
+        .orderBy("event_type"),
+      None),
+
     Q("q_multimodal_features",
       (s, dir) => Multimodal.extractFeatures(s,
           Multimodal.attachPayload(documents(s, dir)))
