@@ -22,11 +22,12 @@ class ApproxAggSpec extends SparkSpec {
     }
   }
 
-  test("percentile_approx brackets the exact median") {
+  test("percentile_approx within 5% of the exact median") {
     val rows = events.groupBy("event_type").agg(
         expr("percentile(value, 0.5)").as("exact_p50"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
       .collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
       val (e, a) = (r.getDouble(1), r.getDouble(2))
       assert(math.abs(a - e) / math.max(e, 1e-9) <= 0.05,

@@ -47,11 +47,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("flagship standings: the only unpartitioned window is the bounded rank") {
-    val plan = SparkEntry.entry(spark).queryExecution.optimizedPlan.toString
     // team cardinality bounds the single-partition rank; anything else
     // funneling to one partition is a regression
-    val singleParts = "SinglePartition".r.findAllIn(
-      SparkEntry.entry(spark).queryExecution.executedPlan.toString).size
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    val singleParts = "SinglePartition".r.findAllIn(plan).size
     assert(singleParts <= 1, s"$singleParts single-partition exchanges\n${plan.take(600)}")
   }
 }
