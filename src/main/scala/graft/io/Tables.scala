@@ -96,6 +96,17 @@ object Tables {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("match", "innings").parquet(path)
 
+  /** Bucketed catalog table: pre-shuffles once at write time so every
+    * subsequent equi-join/aggregation on the bucket key is co-located —
+    * zero exchanges at read time. The 100 TB shape for fact-to-fact
+    * joins that recur on the same key (a broadcast can't cover two big
+    * sides); asserted shuffle-free in BucketedJoinSpec. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   /** S9 — gold full-overwrite sink (ex_match_sg.py:299-315). */
   def writeGold(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
