@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmQueries, Q, RelationalQueries}
+import graft.queries.{LlmQueries, Q, RelationalQueries, SqlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,7 +21,7 @@ object SparkEntry {
 
   /** Full registry: relational operator coverage (SURVEY §2 over the
     * TPC-H-ish testdata) + the LLM-training-data families. */
-  val registry: Seq[Q] = RelationalQueries.all ++ LlmQueries.all
+  val registry: Seq[Q] = RelationalQueries.all ++ SqlQueries.all ++ LlmQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -32,19 +32,31 @@ object Tables {
   def readBronzeNdjson(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath).toSeq
-      else Seq(p)
+    // Accept a plain file, a flat directory, or a glob pattern (nested
+    // directories inside a matched directory are not descended — same
+    // contract as the reference's single-prefix key listing).
+    val statuses =
+      if (fs.exists(p)) Array(fs.getFileStatus(p))
+      else Option(fs.globStatus(p)).getOrElse(Array.empty)
+    require(statuses.nonEmpty, s"readBronzeNdjson: no input matches $path")
+    val files = statuses.toSeq.flatMap { s =>
+      if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile).map(_.getPath).toSeq
+      else Seq(s.getPath)
+    }
     // Per-FILE format decision (a directory may mix both, as the
     // reference's :135-137 coercion produced): array-JSON iff the first
-    // non-whitespace byte is '['.
+    // non-whitespace byte after an optional UTF-8 BOM is '['.
     def isArray(f: Path): Boolean = {
       val in = fs.open(f)
-      try Iterator.continually(in.read()).take(4096)
-        .find(b => b == -1 || !Character.isWhitespace(b))
-        .contains('['.toInt)
-      finally in.close()
+      try {
+        val head = Iterator.continually(in.read())
+          .take(4096).takeWhile(_ != -1).toArray
+        val body =
+          if (head.length >= 3 && head(0) == 0xEF && head(1) == 0xBB &&
+            head(2) == 0xBF) head.drop(3)
+          else head
+        body.find(b => !Character.isWhitespace(b)).contains('['.toInt)
+      } finally in.close()
     }
     val (arrayFiles, lineFiles) = files.partition(isArray)
     val reader = spark.read.schema(Schemas.bronzeDelivery)

@@ -27,22 +27,38 @@ object Dedup {
       .groupBy(TextAnalysis.md5Fingerprint(col("text")).as("fingerprint"))
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
 
-  /** Word-set Jaccard similarity pairs with J ≥ threshold, blocked on
-    * equal `lang` and the size-compatibility bound: J ≥ t requires
-    * min(|A|,|B|) ≥ t·max(|A|,|B|), so the join prunes every pair whose
-    * sizes differ more than that — a necessary condition, no true pair
-    * lost. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
-    */
-  /** `salts` — skew control for the lang-blocked self-join when the
-    * corpus outgrows the broadcast threshold: a blocking key with a
-    * handful of values makes a sort-merge join compute every block's
-    * pair explosion in that many tasks. With salts = N, side A pins a
-    * deterministic salt from its doc id and side B replicates across
-    * all N — each pair still matches exactly once, on (lang, salt), so
-    * output is identical while join parallelism multiplies by N.
-    * Default 1 (no-op): while the token table broadcasts, the join is
-    * already input-partition-parallel and salting only pays N×
-    * replication (measured +40% at sf0.1).
+  /** ln-scale size bucket with width ln(1/threshold): two token sets
+    * that can reach J ≥ threshold (size ratio ≤ 1/threshold, see
+    * [[jaccardPairs]]) land in the same or adjacent buckets. Exposed
+    * package-private so specs can assert the blocking-key cardinality
+    * scales with the corpus instead of capping at #langs. */
+  private[graft] def sizeBucket(nToks: org.apache.spark.sql.Column,
+                                threshold: Double): org.apache.spark.sql.Column = {
+    // clamp keeps threshold = 1 meaningful (bucket ≈ exact size match)
+    val width = math.max(math.log(1.0 / threshold), 1e-9)
+    floor(log(greatest(nToks, lit(1)).cast("double")) / width).cast("long")
+  }
+
+  /** Word-set Jaccard similarity pairs with J ≥ threshold. Returns
+    * (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * Blocking key = (lang, ln-scale size bucket). J ≥ t requires
+    * min(|A|,|B|) ≥ t·max(|A|,|B|) — a *necessary* condition — so a
+    * qualifying pair's ln-sizes differ by ≤ ln(1/t). With bucket width
+    * ln(1/t), their buckets differ by at most 1: side a pins its own
+    * bucket, side b replicates to {b−1, b, b+1} (the
+    * [[TemporalJoins.withinRange]] pattern), and every qualifying pair
+    * matches exactly once — in a's unique bucket. No true pair is lost;
+    * size-incompatible pairs never materialize at all.
+    *
+    * Scale: unlike a lang-only key (~5 distinct values ⇒ the pair
+    * explosion of each language runs in ONE task), the key cardinality
+    * here is langs × occupied size buckets and grows with corpus
+    * diversity, so the shuffle parallelizes. `salts` multiplies
+    * parallelism further for residual skew (side a pins a
+    * doc-id-derived salt, side b replicates across all N — output
+    * identical); default 1 because the 3× bucket replication already
+    * dominates while the token table fits a broadcast.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    salts: Int = 1): DataFrame = {
@@ -51,12 +67,15 @@ object Dedup {
       .withColumn("n_toks", size(col("toks")))
     val a = toks.select(col("doc_id").as("doc_a"), col("lang"),
       col("toks").as("toks_a"), col("n_toks").as("na"))
+      .withColumn("size_bucket", sizeBucket(col("na"), threshold))
       .withColumn("salt", pmod(col("doc_a"), lit(salts)).cast("int"))
+    val bkt = sizeBucket(col("nb"), threshold)
     val b = toks.select(col("doc_id").as("doc_b"), col("lang"),
       col("toks").as("toks_b"), col("n_toks").as("nb"))
+      .withColumn("size_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
       .withColumn("salt", explode(lit((0 until salts).toArray)))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    a.join(b, Seq("lang", "salt")).drop("salt")
+    a.join(b, Seq("lang", "size_bucket", "salt")).drop("salt", "size_bucket")
       .where(col("doc_a") < col("doc_b") &&
         col("na") >= col("nb") * threshold &&
         col("nb") >= col("na") * threshold)

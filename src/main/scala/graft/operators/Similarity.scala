@@ -149,8 +149,20 @@ object Similarity {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
     val feats = v.withColumn("features", array_to_vector(col("vec")))
+    // The quantizer fit is the only full-data iteration here: maxIter
+    // KMeans passes over everything to train nLists centroids. A coarse
+    // quantizer is statistically saturated by a few thousand points, so
+    // fit on a deterministic seeded sample capped near `maxFitRows` —
+    // one cheap count pass replaces maxIter full-corpus passes (the
+    // difference between a metadata-scale and a 100 TB-scale job).
+    val maxFitRows = 4096L
+    val n = feats.count()
+    val fitData =
+      if (n <= maxFitRows) feats
+      else feats.sample(withReplacement = false,
+        maxFitRows.toDouble / n, seed = 7L)
     val model = new KMeans().setK(nLists).setSeed(7L).setMaxIter(10)
-      .fit(feats)
+      .fit(fitData)
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("vec"), col("nrm"),
         col("prediction").as("list_id"))

@@ -231,9 +231,19 @@ object LlmQueries {
         .orderBy("event_type"),
       None),
 
+    // The driver's rows-only compare sorts/hashes in pandas, which cannot
+    // order an array<float> column — so the 4-float feature vector is
+    // projected to scalar columns here (the operator itself still returns
+    // the array; see MultimodalSpec).
     Q("q_multimodal_features",
       (s, dir) => Multimodal.extractFeatures(s,
           Multimodal.attachPayload(documents(s, dir)))
+        .select(col("doc_id"),
+          col("features")(0).as("f_byte_len"),
+          col("features")(1).as("f_byte_sum"),
+          col("features")(2).as("f_mix"),
+          col("features")(3).as("f_mean"),
+          col("batch_size"))
         .orderBy("doc_id"),
       None),
   )

@@ -44,9 +44,16 @@ object Incremental {
     val matches = decoded.select("match").distinct()
       .collect().map(_.getString(0)).toSeq
 
+    // Pinned read-back schema (plan-only, no job): partition-column
+    // inference would retype numeric-looking match ids (merging '01'
+    // with '1'), break the unionByName below, and defeat the isin
+    // partition filter — the exact failure RunPipeline's silver
+    // read-back fixed.
+    val bronzeSchema = Innings.addInnings(Pipeline.dedupDecoded(decoded)).schema
+
     val merged =
       if (gio.Tables.tableExists(spark, bronzePath)) {
-        val existing = spark.read.parquet(bronzePath)
+        val existing = spark.read.schema(bronzeSchema).parquet(bronzePath)
           .where(col("match").isin(matches: _*))
           .select(decoded.columns.map(col): _*)
         val maxSeq = existing.agg(max("seq")).first() match {
@@ -57,14 +64,20 @@ object Incremental {
           decoded.withColumn("seq", col("seq") + lit(maxSeq)))
       } else decoded
 
+    // Materialize (lineage-truncating) BEFORE the overwrite: the merged
+    // plan lazily reads bronzePath, the same path the write replaces.
+    // Dynamic partition overwrite defers deletion to job commit, but a
+    // recompute-during-write (task retry) or a mid-commit crash would
+    // otherwise read partially-replaced state with no recovery copy.
     val bronze = Innings.addInnings(Pipeline.dedupDecoded(merged))
+      .localCheckpoint(eager = true)
     bronze.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("match").parquet(bronzePath)
 
     // Re-read the just-written partitions so silver derives from the
     // stored bronze (the reference's silver job reads the bronze file).
-    val storedBronze = spark.read.parquet(bronzePath)
+    val storedBronze = spark.read.schema(bronzeSchema).parquet(bronzePath)
       .where(col("match").isin(matches: _*))
     val silver = Enrich.transform(spark, storedBronze, meta, players)
     silver.write.mode(SaveMode.Overwrite)
