@@ -31,10 +31,21 @@ object Bench {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
       Similarity.exactTopK(emb, 2, 2).count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // The heavy candidate-pair queries swing ±30% run-to-run (GC timing
+    // against a quadratic-ish true answer); report their MEDIAN of 3 so
+    // round-over-round regressions are attributable to code, not noise.
+    val heavy = Set("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
+      "q_dedup_simhash_pairs", "q_embed_ann_ivf")
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val secs =
+        if (heavy(name)) Seq(once(name, fn), once(name, fn), once(name, fn)).sorted(Ordering.Double.TotalOrdering)(1)
+        else once(name, fn)
+      name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -108,6 +108,51 @@ object Tables {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("match", "innings").parquet(path)
 
+  /** S8/T2 — keyed MERGE upsert: the Delta `MERGE ON keys` shape
+    * (SURVEY §2.10 maps the reference's per-delivery upsert,
+    * ex_match_rb.py:201-221, to it). For each source row, the matching
+    * target row (same `keys`) is UPDATED (source wins) and unmatched
+    * rows are INSERTED — restricted to the partitions the source
+    * touches, so the unit of IO is the affected partition set, never
+    * the table:
+    *
+    *  1. read back ONLY the affected partitions (literal partition
+    *     predicate from the source's distinct partition tuples — the
+    *     scan prunes);
+    *  2. anti-join stored rows against the source keys (rows being
+    *     updated drop out; join strategy is Catalyst's choice — AQE
+    *     broadcasts the key set when the batch is small);
+    *  3. union the source back in and dynamic-partition-overwrite the
+    *     affected partitions (lineage-truncated first: the plan reads
+    *     the same path the write replaces).
+    */
+  def mergeUpsertKeyed(spark: SparkSession, source: DataFrame, path: String,
+                       keys: Seq[String], partitionCols: Seq[String]): Unit = {
+    require(keys.nonEmpty && partitionCols.nonEmpty)
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!tableExists(spark, path)) {
+      source.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(path)
+      return
+    }
+    // a partition tuple is driver-sized by definition (it names a dir)
+    val partTuples = source.select(partitionCols.map(col): _*).distinct().collect()
+    val affected = partTuples.map { row =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) === lit(row.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val existing = spark.read.schema(source.schema).parquet(path)
+      .where(affected)
+    val kept = existing.join(
+      source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val merged = kept.unionByName(source.select(existing.columns.map(col): _*))
+      .localCheckpoint(eager = true)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Bucketed catalog table: pre-shuffles once at write time so every
     * subsequent equi-join/aggregation on the bucket key is co-located —
     * zero exchanges at read time. The 100 TB shape for fact-to-fact

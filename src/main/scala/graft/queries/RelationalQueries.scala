@@ -309,6 +309,37 @@ object RelationalQueries {
              |  ON p.user_id = e.user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // Semi/anti joins — SURVEY §2.11 lists them absent in the reference;
+    // they are the scale-correct form of existence filters (no payload
+    // duplication, no post-join distinct).
+    Q("q_join_semi",
+      (s, dir) => {
+        val buyers = ev(s, dir).where(col("event_type") === "purchase")
+          .select(col("user_id").as("c_custkey"))
+        customer(s, dir)
+          .join(buyers, Seq("c_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM events e
+             |  WHERE e.event_type = 'purchase' AND e.user_id = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_join_anti",
+      (s, dir) => {
+        val buyers = ev(s, dir).where(col("event_type") === "purchase")
+          .select(col("user_id").as("c_custkey"))
+        customer(s, dir)
+          .join(buyers, Seq("c_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM events e
+             |  WHERE e.event_type = 'purchase' AND e.user_id = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
     Q("q_j7_agg_join_enrich",
       (s, dir) => {
         val o = orders(s, dir)

@@ -64,6 +64,44 @@ class IncrementalSpec extends SparkSpec {
     assert(silverSummary(spark.read.parquet(silverPath)) === silverSummary(batch))
   }
 
+  test("keyed MERGE upsert: re-delivered MODIFIED row updates in place") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-merge").toString + "/t"
+
+    // initial table: 2 partitions, 2 rows each, keyed by (part, id)
+    val initial = Seq(
+      ("p1", 1L, "a", 10), ("p1", 2L, "b", 20),
+      ("p2", 3L, "c", 30), ("p2", 4L, "d", 40))
+      .toDF("part", "id", "name", "value")
+    graft.io.Tables.mergeUpsertKeyed(spark, initial, path,
+      keys = Seq("part", "id"), partitionCols = Seq("part"))
+
+    val untouchedFiles = Files.list(Paths.get(s"$path/part=p2")).toArray.toSet
+
+    // merge batch: id=1 re-delivered MODIFIED + id=9 brand new, both p1
+    val batch = Seq(("p1", 1L, "a2", 11), ("p1", 9L, "z", 90))
+      .toDF("part", "id", "name", "value")
+    graft.io.Tables.mergeUpsertKeyed(spark, batch, path,
+      keys = Seq("part", "id"), partitionCols = Seq("part"))
+
+    val after = spark.read.parquet(path)
+      .select("part", "id", "name", "value").as[(String, Long, String, Int)]
+      .collect().sortBy(_._2).toSeq
+    assert(after === Seq(
+      ("p1", 1L, "a2", 11), // updated in place, not duplicated
+      ("p1", 2L, "b", 20),
+      ("p2", 3L, "c", 30), ("p2", 4L, "d", 40),
+      ("p1", 9L, "z", 90)).sortBy(_._2))
+
+    // the untouched partition's files were not rewritten
+    assert(Files.list(Paths.get(s"$path/part=p2")).toArray.toSet === untouchedFiles)
+
+    // idempotence: re-merging the identical batch is a no-op
+    graft.io.Tables.mergeUpsertKeyed(spark, batch, path,
+      keys = Seq("part", "id"), partitionCols = Seq("part"))
+    assert(spark.read.parquet(path).count() === 5)
+  }
+
   test("bronze dedup is deterministic under input repartitioning") {
     val (raw, _) = Fixtures.rawSeason(spark)
     // duplicate every row (re-scrape overlap), shuffle partitioning

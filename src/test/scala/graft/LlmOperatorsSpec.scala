@@ -53,6 +53,53 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("jaccard blocking-key cardinality scales with the corpus, not #langs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val keys = docs.select(col("lang"),
+        Dedup.sizeBucket(size(graft.functions.TextAnalysis.tokenSet(col("text"))), 0.9).as("b"))
+      .distinct().count()
+    val langs = docs.select("lang").distinct().count()
+    assert(keys >= langs * 3,
+      s"only $keys blocking keys for $langs langs — pair explosion would run at #langs parallelism")
+  }
+
+  test("minhash estimate prefilter keeps every true pair (property, b=8 r=8)") {
+    // Property behind Dedup's two-stage verification: no pair with true
+    // J >= threshold is dropped by the `threshold - 0.15` signature
+    // estimate gate. The estimator matches/numPerm has stddev
+    // sqrt(J(1-J)/64) ~ 0.04 at J=0.9, so the 0.15 slack is ~4 sigma;
+    // with pinned generator seeds the check is fully deterministic.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val numPerm = 64
+    val threshold = 0.9
+    val gate = math.max(0.0, threshold - 0.15) * numPerm
+    val vocab = (0 until 400).map(i => s"w$i").toVector
+    val genCase = for {
+      n <- Gen.choose(20, 120)
+      base <- Gen.pick(n, vocab)
+      nMut <- Gen.choose(0, math.max(1, n / 12))
+      repl <- Gen.pick(nMut, vocab)
+    } yield {
+      val sa = base.toSet
+      (sa, sa.toSeq.sorted.drop(nMut).toSet ++ repl.toSet)
+    }
+    var checked = 0
+    (0 until 300).foreach { i =>
+      val (sa, sb) = genCase(Gen.Parameters.default, Seed(42L + i)).get
+      val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if (trueJ >= threshold) {
+        checked += 1
+        val estA = Dedup.minhashSignature(sa.toSeq.sorted, numPerm)
+        val estB = Dedup.minhashSignature(sb.toSeq.sorted, numPerm)
+        val matches = estA.zip(estB).count { case (x, y) => x == y }
+        assert(matches >= gate,
+          s"corpus $i: true J=$trueJ but estimate $matches < gate $gate — prefilter dropped a true pair")
+      }
+    }
+    assert(checked >= 30, s"generator produced only $checked high-J cases")
+  }
+
   test("MinHash-LSH finds every exact duplicate and high-Jaccard pair") {
     val exact = Dedup.jaccardPairs(corpus, 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]

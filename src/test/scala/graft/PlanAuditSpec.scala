@@ -46,6 +46,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size == 2, s"${exchanges.size} exchanges:\n${plan.take(1200)}")
   }
 
+  test("q_join_asof: ONE key exchange serves the union + carry-forward window") {
+    val plan = executed("q_join_asof")
+    // 1 hashpartitioning(user_id) for the as-of window, 1 range for the
+    // output ORDER BY — a theta-join formulation would add more
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size == 2, s"${exchanges.size} exchanges:\n${plan.take(1200)}")
+  }
+
+  test("q_dedup_simhash_pairs: candidates from an equi-join on the chunk key") {
+    val plan = executed("q_dedup_simhash_pairs")
+    assert(plan.contains("chunk_val"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("q_dedup_ngram_jaccard: candidate join key includes the size bucket") {
+    val plan = executed("q_dedup_ngram_jaccard")
+    assert(plan.contains("size_bucket"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("q_sql_view_topk: the SQL text compiles to the DataFrame top-k plan") {
+    val plan = executed("q_sql_view_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("flagship standings: the only unpartitioned window is the bounded rank") {
     // team cardinality bounds the single-partition rank; anything else
     // funneling to one partition is a regression
