@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val name = args(0)
+    val fn = SparkEntry.queries(name)
+    // warmup on 64 rows
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+    Dedup.minhashLshPairs(docs, 0.9, bands = 8, rows = 8).count()
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[benchone] $name run $i: ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

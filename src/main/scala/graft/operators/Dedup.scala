@@ -131,9 +131,9 @@ object Dedup {
         bd.toLong << 56 | (h & 0xffffffffffffL)
       }
     }
-    val sigs = docs.select(col("doc_id"),
-        TextAnalysis.tokenSet(col("text")).as("toks"))
-      .withColumn("sig", sigUdf(col("toks")))
+    val tk = docs.select(col("doc_id"),
+      TextAnalysis.tokenSet(col("text")).as("toks"))
+    val sigs = tk.withColumn("sig", sigUdf(col("toks")))
 
     val buckets = sigs
       .select(col("doc_id"), explode(bandHashUdf(col("sig"))).as("bucket"))
@@ -146,22 +146,35 @@ object Dedup {
     // (matching minhash components / numPerm, an unbiased J estimator)
     // prunes candidates well below the threshold before the exact
     // token-set intersection runs. The slack (0.15) keeps estimator
-    // variance from dropping true pairs; final filter is EXACT Jaccard,
-    // so precision is unaffected.
-    val sa = sigs.select(col("doc_id").as("doc_a"),
-      col("toks").as("toks_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"),
-      col("toks").as("toks_b"), col("sig").as("sig_b"))
+    // variance from dropping true pairs (property-tested in
+    // LlmOperatorsSpec); final filter is EXACT Jaccard, so precision is
+    // unaffected.
+    //
+    // Payload discipline: on a shared-vocabulary corpus the band
+    // candidates are a large multiple of the true pairs, so the estimate
+    // gate joins SIGNATURES ONLY (fixed numPerm longs/row); the
+    // variable-width token sets are attached after the gate, to the
+    // small survivor set. No broadcast hints anywhere: at corpus scale
+    // these joins sort-merge on the doc id; at test scale AQE broadcasts
+    // the few-MB sig/token tables itself.
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     val estMatches = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
       lit(0), (acc, x) => acc + x)
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    // no broadcast hint: at corpus scale these joins sort-merge on the
-    // doc id; at test scale AQE broadcasts the few-MB sig table itself
-    cand
+    val survivors = cand
       .join(sa, "doc_a")
       .join(sb, "doc_b")
       .where(estMatches >= lit(math.max(0.0, threshold - 0.15) * numPerm))
+      .select("doc_a", "doc_b")
+    // token attachment reads from the pre-signature projection, so these
+    // two passes skip the numPerm-permutation UDF entirely
+    val ta = tk.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val tb = tk.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    survivors
+      .join(ta, "doc_a")
+      .join(tb, "doc_b")
       .withColumn("inter", inter)
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
