@@ -101,6 +101,35 @@ object LlmQueries {
              |    AS BIGINT) AS max_bpe_tokens
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Generator/UDTF surface (SURVEY §2.11 lists it absent in the
+    // reference): explode a split column into rows — the vocabulary
+    // histogram every tokenizer-training pipeline starts from. The
+    // explode runs inside whole-stage codegen; the top-k is
+    // TakeOrderedAndProject.
+    Q("q_gen_explode_wordcount",
+      (s, dir) => documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word")).limit(20),
+      Some("""SELECT word, COUNT(*) AS n FROM (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+             |  FROM documents)
+             |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin)),
+
+    // Stratified (class-balanced) sampling — the lang-balanced
+    // subsampling step of a corpus pipeline. Per-stratum Bernoulli
+    // sampling is seed-deterministic but engine-specific, so rows-only;
+    // determinism + per-stratum rates are asserted in LlmOperatorsSpec.
+    Q("q_sample_stratified",
+      (s, dir) => {
+        val d = documents(s, dir)
+        val langs = d.select("lang").distinct().collect().map(_.getString(0))
+        val fractions = langs.map(l => l -> (if (l <= "en") 0.5 else 0.2)).toMap
+        d.stat.sampleBy("lang", fractions, 42L)
+          .select("doc_id", "lang").orderBy("doc_id")
+      },
+      None),
+
     Q("q_text_fingerprint_rolling",
       (s, dir) => documents(s, dir)
         .select(col("doc_id"),

@@ -167,6 +167,28 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall < 0.6 (${exact.size} truth pairs)")
   }
 
+  test("stratified sample: seed-deterministic, subset, near target rates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fractions = Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2)
+      .filter { case (l, _) =>
+        docs.select("lang").distinct().collect().map(_.getString(0)).contains(l) }
+    def sample() = docs.stat.sampleBy("lang", fractions, 42L)
+    val a = sample().select("doc_id").as[Long](spark.implicits.newLongEncoder).collect().sorted
+    val b = sample().select("doc_id").as[Long](spark.implicits.newLongEncoder).collect().sorted
+    assert(a.toSeq === b.toSeq, "same seed must give the same sample")
+    val all = docs.select("doc_id").as[Long](spark.implicits.newLongEncoder).collect().toSet
+    assert(a.forall(all.contains))
+    // per-stratum rate within a loose Bernoulli tolerance
+    val got = sample().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (l, f) =>
+      val rate = got.getOrElse(l, 0L).toDouble / totals(l)
+      assert(math.abs(rate - f) < 0.15, s"stratum $l rate $rate vs target $f")
+    }
+  }
+
   test("multimodal: payload schema + batched stub decode") {
     val media = Multimodal.attachPayload(
       spark.read.parquet(s"$sf/documents.parquet"))
