@@ -95,6 +95,25 @@ object Tables {
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Tiered silver read (pipeline_local/to_gold/gld_match.py:78-106):
+    * the reference's local gold job probes local Delta → S3 Delta →
+    * loose CSV files. Spark analogue: first existing parquet location
+    * wins (local or remote — one code path, the FS scheme decides),
+    * else a recursive CSV directory scan; schema pinned throughout so
+    * every tier yields identical types. */
+  def readSilverTiered(spark: SparkSession, parquetPaths: Seq[String],
+                       csvDir: Option[String],
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    parquetPaths.find(tableExists(spark, _)) match {
+      case Some(p) => spark.read.schema(schema).parquet(p)
+      case None => csvDir.filter(tableExists(spark, _)) match {
+        case Some(d) => spark.read.option("header", "true")
+          .option("recursiveFileLookup", "true").schema(schema).csv(d)
+        case None => throw new IllegalArgumentException(
+          s"no silver data at ${parquetPaths.mkString(", ")} or $csvDir")
+      }
+    }
+
   /** S7 — partitioned silver sink (ex_match_bs.py:464-482; layout
     * partitioned by (match, innings) per :467). */
   def writeSilver(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =

@@ -309,6 +309,37 @@ object RelationalQueries {
              |  ON p.user_id = e.user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // X2-shaped fuzzy matching on testdata (SURVEY §7.3): closest
+    // customer name per supplier by edit distance, with candidates
+    // BLOCKED on the shared nation key — the same scoped-candidate
+    // pruning the reference applies per team (ex_match_bs.py:249-259),
+    // which is what keeps fuzzy matching off the full cross product at
+    // scale. levenshtein is built-in in both engines, so this is the one
+    // fuzzy query with a full independent oracle.
+    Q("q_x2_fuzzy_scoped",
+      (s, dir) => {
+        val sup = supplier(s, dir).select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").as("nk"))
+        val cus = customer(s, dir).select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").as("nk"))
+        val w = Window.partitionBy("s_suppkey")
+          .orderBy(asc("dist"), asc("c_custkey"))
+        sup.join(cus, "nk")
+          .withColumn("dist", levenshtein(col("s_name"), col("c_name")))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("s_suppkey"), col("c_custkey").as("best_custkey"),
+            col("dist").cast("long").as("dist"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, best_custkey, dist FROM (
+             |  SELECT s_suppkey, c_custkey AS best_custkey,
+             |    CAST(levenshtein(s_name, c_name) AS BIGINT) AS dist,
+             |    ROW_NUMBER() OVER (PARTITION BY s_suppkey
+             |      ORDER BY levenshtein(s_name, c_name), c_custkey) AS rn
+             |  FROM supplier JOIN customer ON s_nationkey = c_nationkey)
+             |WHERE rn = 1 ORDER BY s_suppkey""".stripMargin)),
+
     // Semi/anti joins — SURVEY §2.11 lists them absent in the reference;
     // they are the scale-correct form of existence filters (no payload
     // duplication, no post-join distinct).

@@ -102,6 +102,34 @@ class IoTablesSpec extends SparkSpec {
     assert(after.where(!col("match").startsWith("01_") && col("venue") === "REPLACED").count() === 0)
   }
 
+  test("tiered silver read: first parquet tier wins, CSV fallback, error when empty") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val df = spark.range(3).select(col("id"), concat(lit("v"), col("id")).as("v"))
+    val tierDir = s"$base/tiered"
+    val primary = s"$tierDir/primary"; val secondary = s"$tierDir/secondary"
+    val csvDir = s"$tierDir/csv"
+
+    // only the SECOND parquet tier exists → it is chosen
+    df.write.parquet(secondary)
+    val fromSecondary = Tables.readSilverTiered(spark,
+      Seq(primary, secondary), Some(csvDir), schema)
+    assert(fromSecondary.collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
+
+    // no parquet tier → nested CSV fallback with pinned schema
+    df.write.option("header", "true").csv(s"$csvDir/nested")
+    val fromCsv = Tables.readSilverTiered(spark,
+      Seq(s"$tierDir/missing-a", s"$tierDir/missing-b"), Some(csvDir), schema)
+    assert(fromCsv.schema === schema)
+    assert(fromCsv.count() === 3)
+
+    // nothing anywhere → explicit error, not an empty frame
+    intercept[IllegalArgumentException] {
+      Tables.readSilverTiered(spark, Seq(s"$tierDir/nope"), None, schema)
+    }
+  }
+
   test("S10: CSV sink round-trips") {
     val df = spark.range(5).select(col("id"), (col("id") * 2).as("dbl"))
     val path = s"$base/csv-out"
