@@ -101,6 +101,25 @@ object LlmQueries {
              |    AS BIGINT) AS max_bpe_tokens
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Sequence packing: fixed token-budget packs per lang (the
+    // dedup→pack step of a training-data pipeline). The greedy-by-order
+    // assignment is a running-sum window, so DuckDB reproduces it
+    // exactly.
+    Q("q_pack_sequences",
+      (s, dir) => graft.operators.Packing
+        .packSummary(documents(s, dir), 512)
+        .orderBy("lang", "pack_id"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT lang, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM t)
+             |SELECT lang, CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS pack_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+             |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin)),
+
     // Generator/UDTF surface (SURVEY §2.11 lists it absent in the
     // reference): explode a split column into rows — the vocabulary
     // histogram every tokenizer-training pipeline starts from. The
