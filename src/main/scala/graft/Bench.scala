@@ -36,15 +36,15 @@ object Bench {
     // round-over-round regressions are attributable to code, not noise.
     val heavy = Set("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
       "q_dedup_simhash_pairs", "q_embed_ann_ivf")
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val secs =
-        if (heavy(name)) Seq(once(name, fn), once(name, fn), once(name, fn)).sorted(Ordering.Double.TotalOrdering)(1)
-        else once(name, fn)
+        if (heavy(name)) Seq(once(fn), once(fn), once(fn)).sorted(Ordering.Double.TotalOrdering)(1)
+        else once(fn)
       name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

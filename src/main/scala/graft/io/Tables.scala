@@ -101,12 +101,28 @@ object Tables {
     * wins (local or remote — one code path, the FS scheme decides),
     * else a recursive CSV directory scan; schema pinned throughout so
     * every tier yields identical types. */
+  /** True iff `path` holds at least one DATA file (ignoring `_`/`.`
+    * markers like _temporary or _SUCCESS) — a crashed write must not
+    * shadow a valid later tier (the reference probes _delta_log, i.e.
+    * validity, not bare existence). */
+  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) return true
+    }
+    false
+  }
+
   def readSilverTiered(spark: SparkSession, parquetPaths: Seq[String],
                        csvDir: Option[String],
                        schema: org.apache.spark.sql.types.StructType): DataFrame =
-    parquetPaths.find(tableExists(spark, _)) match {
+    parquetPaths.find(hasDataFiles(spark, _)) match {
       case Some(p) => spark.read.schema(schema).parquet(p)
-      case None => csvDir.filter(tableExists(spark, _)) match {
+      case None => csvDir.filter(hasDataFiles(spark, _)) match {
         case Some(d) => spark.read.option("header", "true")
           .option("recursiveFileLookup", "true").schema(schema).csv(d)
         case None => throw new IllegalArgumentException(
@@ -148,6 +164,14 @@ object Tables {
   def mergeUpsertKeyed(spark: SparkSession, source: DataFrame, path: String,
                        keys: Seq[String], partitionCols: Seq[String]): Unit = {
     require(keys.nonEmpty && partitionCols.nonEmpty)
+    // Partition-scoped MERGE can only see the partitions the source
+    // names, so a key that MOVED partitions would leave its old row
+    // behind as a silent duplicate. Requiring the partition columns to
+    // be part of the key makes a "moved" row a different key by
+    // construction — the only shape whose semantics this operator can
+    // honor without a full-table scan.
+    require(partitionCols.forall(keys.contains),
+      s"mergeUpsertKeyed needs keys ⊇ partitionCols (got keys=$keys, partitionCols=$partitionCols)")
     import org.apache.spark.sql.functions.{col, lit}
     if (!tableExists(spark, path)) {
       source.write.mode(SaveMode.Overwrite)
@@ -156,9 +180,12 @@ object Tables {
     }
     // a partition tuple is driver-sized by definition (it names a dir)
     val partTuples = source.select(partitionCols.map(col): _*).distinct().collect()
+    if (partTuples.isEmpty) return // empty batch ⇒ no-op, not empty.reduce
     val affected = partTuples.map { row =>
       partitionCols.zipWithIndex
-        .map { case (c, i) => col(c) === lit(row.get(i)) }
+        // null-safe: a null partition value (__HIVE_DEFAULT_PARTITION__)
+        // must still match its stored rows or the overwrite drops them
+        .map { case (c, i) => col(c) <=> lit(row.get(i)) }
         .reduce(_ && _)
     }.reduce(_ || _)
     val existing = spark.read.schema(source.schema).parquet(path)

@@ -100,6 +100,17 @@ class IncrementalSpec extends SparkSpec {
     graft.io.Tables.mergeUpsertKeyed(spark, batch, path,
       keys = Seq("part", "id"), partitionCols = Seq("part"))
     assert(spark.read.parquet(path).count() === 5)
+
+    // an EMPTY batch is a no-op, not a crash
+    graft.io.Tables.mergeUpsertKeyed(spark, batch.limit(0), path,
+      keys = Seq("part", "id"), partitionCols = Seq("part"))
+    assert(spark.read.parquet(path).count() === 5)
+
+    // a key shape that could silently duplicate moved rows is rejected
+    intercept[IllegalArgumentException] {
+      graft.io.Tables.mergeUpsertKeyed(spark, batch, path,
+        keys = Seq("id"), partitionCols = Seq("part"))
+    }
   }
 
   test("bronze dedup is deterministic under input repartitioning") {

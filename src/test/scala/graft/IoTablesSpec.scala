@@ -111,7 +111,9 @@ class IoTablesSpec extends SparkSpec {
     val primary = s"$tierDir/primary"; val secondary = s"$tierDir/secondary"
     val csvDir = s"$tierDir/csv"
 
-    // only the SECOND parquet tier exists → it is chosen
+    // the FIRST tier exists but holds no data files (crashed write) →
+    // it must not shadow the valid second tier
+    Files.createDirectories(java.nio.file.Paths.get(s"$primary/_temporary"))
     df.write.parquet(secondary)
     val fromSecondary = Tables.readSilverTiered(spark,
       Seq(primary, secondary), Some(csvDir), schema)

@@ -169,9 +169,9 @@ class LlmOperatorsSpec extends SparkSpec {
 
   test("stratified sample: seed-deterministic, subset, near target rates") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
     val fractions = Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2)
-      .filter { case (l, _) =>
-        docs.select("lang").distinct().collect().map(_.getString(0)).contains(l) }
+      .filter { case (l, _) => langs.contains(l) }
     def sample() = docs.stat.sampleBy("lang", fractions, 42L)
     val a = sample().select("doc_id").as[Long](spark.implicits.newLongEncoder).collect().sorted
     val b = sample().select("doc_id").as[Long](spark.implicits.newLongEncoder).collect().sorted
