@@ -322,14 +322,17 @@ object RelationalQueries {
           col("s_nationkey").as("nk"))
         val cus = customer(s, dir).select(col("c_custkey"), col("c_name"),
           col("c_nationkey").as("nk"))
-        val w = Window.partitionBy("s_suppkey")
-          .orderBy(asc("dist"), asc("c_custkey"))
+        // best-match via min_by, not a sort window: the argmin hash
+        // aggregate gets map-side partial aggregation, so the candidate
+        // explosion combines before the shuffle instead of fully
+        // sorting. Tie-break by c_custkey makes the argmin total.
         sup.join(cus, "nk")
           .withColumn("dist", levenshtein(col("s_name"), col("c_name")))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("s_suppkey"), col("c_custkey").as("best_custkey"),
-            col("dist").cast("long").as("dist"))
+          .groupBy("s_suppkey")
+          .agg(min_by(struct(col("c_custkey"), col("dist")),
+            struct(col("dist"), col("c_custkey"))).as("best"))
+          .select(col("s_suppkey"), col("best.c_custkey").as("best_custkey"),
+            col("best.dist").cast("long").as("dist"))
           .orderBy("s_suppkey")
       },
       Some("""SELECT s_suppkey, best_custkey, dist FROM (

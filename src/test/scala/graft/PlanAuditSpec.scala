@@ -68,6 +68,15 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("q_pack_sequences: window + pack aggregation share ONE lang exchange") {
+    val plan = executed("q_pack_sequences")
+    // 1 hashpartitioning(lang) serves the running-sum window AND the
+    // (lang, pack_id) aggregation (group key extends the partition key);
+    // 1 rangepartitioning for the output ORDER BY
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size == 2, s"${exchanges.size} exchanges:\n${plan.take(1200)}")
+  }
+
   test("q_sql_view_topk: the SQL text compiles to the DataFrame top-k plan") {
     val plan = executed("q_sql_view_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
