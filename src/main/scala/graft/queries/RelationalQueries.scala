@@ -469,6 +469,45 @@ object RelationalQueries {
              |    AS running_value
              |FROM events ORDER BY user_id, us, event_id""".stripMargin)),
 
+    // W2 variant with a bounded sliding frame (moving average over the
+    // last 4 events) — the frame makes the accumulation order identical
+    // in both engines; the decimal accumulator keeps the division exact.
+    Q("q_w5_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(-3, Window.currentRow)
+        ev(s, dir)
+          .select(col("event_id"), col("user_id"), col("us"),
+            (sum(d(col("value"))).over(w).cast("double") /
+              count(lit(1)).over(w)).as("mavg4"))
+          .orderBy("user_id", "us", "event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             |    / COUNT(*) OVER w AS mavg4
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, us, event_id""".stripMargin)),
+
+    // argmin/argmax as an AGGREGATE (max_by): the map-side-combining
+    // alternative to O4's window formulation — one hash agg, no sort.
+    // The oracle deliberately uses the window formulation, so the two
+    // shapes verify each other.
+    Q("q_agg_argmax",
+      (s, dir) => ev(s, dir).groupBy("user_id")
+        .agg(max_by(struct(col("event_id"), col("event_type")),
+          struct(col("us"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_event_type"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id AS last_event_id,
+             |  event_type AS last_event_type FROM (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     Q("q_w3_rank_per_group",
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")
