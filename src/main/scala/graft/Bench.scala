@@ -35,7 +35,7 @@ object Bench {
     // against a quadratic-ish true answer); report their MEDIAN of 3 so
     // round-over-round regressions are attributable to code, not noise.
     val heavy = Set("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
-      "q_dedup_simhash_pairs", "q_embed_ann_ivf")
+      "q_dedup_simhash_pairs", "q_embed_ann_ivf", "q_dedup_clusters")
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

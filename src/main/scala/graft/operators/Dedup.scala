@@ -88,6 +88,47 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components of a near-duplicate pair graph: every document
+    * labeled with the SMALLEST doc_id reachable through pairs — the
+    * canonical-cluster assignment that turns pairwise near-dup output
+    * (from [[jaccardPairs]] / [[minhashLshPairs]] /
+    * [[simhashNearDupPairs]]) into dedup groups.
+    *
+    * Algorithm: iterative smallest-label propagation — each round every
+    * node takes the min of its own and its neighbors' labels (one
+    * hash-join + min-aggregate per round, both map-side combining), and
+    * the loop stops when no label changes. Rounds = component diameter;
+    * near-dup clusters are tight, so convergence is fast. Labels are
+    * `localCheckpoint`ed per round so the plan doesn't grow with the
+    * iteration count; the driver holds only a change COUNT, never the
+    * graph. Returns (doc_id, cluster_id), deterministic for any input
+    * partitioning.
+    */
+  def duplicateClusters(pairs: DataFrame, docs: DataFrame,
+                        maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      require(round <= maxRounds, s"CC did not converge in $maxRounds rounds")
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionByName(fromNeighbors)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .where(col("label") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Deterministic 64-bit token hash for permutation `i` (seeded affine
     * scramble over a murmur-ish base — stable across JVMs/executors). */
   private def tokenHash(i: Int, token: String): Long = {

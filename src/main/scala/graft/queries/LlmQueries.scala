@@ -179,6 +179,42 @@ object LlmQueries {
              |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Cluster assignment over the Jaccard pair graph: smallest-reachable
+    // doc_id per document (iterative label propagation in Spark, a
+    // recursive transitive-closure CTE in DuckDB — two independent CC
+    // formulations verifying each other).
+    // Scoped to one language: the pair graph of THIS corpus is ~25×
+    // denser than a real near-dup graph (shared 40-word vocabulary), and
+    // the full-corpus clustering is already covered by the operator's
+    // unit test — the registry query verifies the algorithm, not GC
+    // endurance.
+    Q("q_dedup_clusters",
+      (s, dir) => {
+        val scoped = documents(s, dir).where(col("lang") === "de")
+        Dedup.duplicateClusters(Dedup.jaccardPairs(scoped, 0.9), scoped)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, lang,
+             |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+             |  FROM documents WHERE lang = 'de'),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |    AND len(a.toks) >= len(b.toks) * 0.9 AND len(b.toks) >= len(a.toks) * 0.9
+             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9),
+             |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+             |  UNION ALL SELECT doc_b, doc_a FROM p),
+             |reach AS (
+             |  SELECT src AS doc, dst AS other FROM e
+             |  UNION
+             |  SELECT r.doc, e.dst FROM reach r JOIN e ON r.other = e.src)
+             |SELECT d.doc_id,
+             |  LEAST(d.doc_id, COALESCE(MIN(r.other), d.doc_id)) AS cluster_id
+             |FROM documents d LEFT JOIN reach r ON r.doc = d.doc_id
+             |WHERE d.lang = 'de'
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
     Q("q_dedup_minhash_lsh",
       // b=8, r=8: collision prob ≈0.99 at J=0.9, ≈0.03 at J=0.5 — the
       // banding itself prunes the low-similarity mass of this corpus.

@@ -120,6 +120,18 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(lsh.exists { case (a, b, j) => j === 1.0 && b >= 200 && a < 20 })
   }
 
+  test("duplicate clusters: transitive chains collapse to the min doc_id") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (4L, 5L), (3L, 4L), // chain 1..6
+        (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 20L).toDF("doc_id")
+    val cc = Dedup.duplicateClusters(pairs, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 6-hop chain needs multiple propagation rounds; 20 is untouched
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("SimHash: identical token sets collide, distinct ones don't (here)") {
     val sigs = Dedup.simhashSignatures(corpus)
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

@@ -12,8 +12,8 @@ class RegistrySpec extends SparkSpec {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size === names.size)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 74)
-    assert(SparkEntry.oracleSql.size >= 63)
+    assert(SparkEntry.queries.size >= 75)
+    assert(SparkEntry.oracleSql.size >= 64)
   }
 
   test("every query executes and returns rows at sf0.001") {
