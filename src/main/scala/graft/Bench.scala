@@ -36,21 +36,30 @@ object Bench {
     // round-over-round regressions are attributable to code, not noise.
     val heavy = Set("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
       "q_dedup_simhash_pairs", "q_embed_ann_ivf", "q_dedup_clusters")
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failing query must be VISIBLE in the output, not silently timed
+    // as a fast success deflating the total
+    val failed = scala.collection.mutable.SortedSet[String]()
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case t: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val secs =
-        if (heavy(name)) Seq(once(fn), once(fn), once(fn)).sorted(Ordering.Double.TotalOrdering)(1)
-        else once(fn)
+        if (heavy(name)) Seq(once(name, fn), once(name, fn), once(name, fn)).sorted(Ordering.Double.TotalOrdering)(1)
+        else once(name, fn)
       name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

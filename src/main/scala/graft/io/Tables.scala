@@ -109,10 +109,18 @@ object Tables {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return false
+    if (fs.getFileStatus(p).isFile) return true
+    // EVERY path component below the root must be visible: a part-file
+    // nested under _temporary/ (crashed write) is hidden to spark.read's
+    // path filter, so counting it as data would pick a tier that then
+    // reads as empty.
+    val root = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
-      val name = it.next().getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) return true
+      val rel = it.next().getPath.toUri.getPath
+        .stripPrefix(root).stripPrefix("/")
+      if (rel.split("/").forall(c =>
+        !c.startsWith("_") && !c.startsWith("."))) return true
     }
     false
   }
@@ -190,8 +198,12 @@ object Tables {
     }.reduce(_ || _)
     val existing = spark.read.schema(source.schema).parquet(path)
       .where(affected)
-    val kept = existing.join(
-      source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    // the anti-join must be null-safe like the partition predicate: with
+    // USING-style keys, null = null is null, so a stored row with a null
+    // key component would survive next to its replacement
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val keyCond = keys.map(k => existing(k) <=> srcKeys(k)).reduce(_ && _)
+    val kept = existing.join(srcKeys, keyCond, "left_anti")
     val merged = kept.unionByName(source.select(existing.columns.map(col): _*))
       .localCheckpoint(eager = true)
     merged.write.mode(SaveMode.Overwrite)

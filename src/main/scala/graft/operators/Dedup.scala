@@ -106,14 +106,27 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, docs: DataFrame,
                         maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // Propagate over docs ∪ pair endpoints: a caller may pass pairs whose
+    // nodes were filtered out of `docs`, and paths THROUGH such nodes
+    // must still connect (only the output is restricted to docs).
+    val nodes = docs.select(col("doc_id"))
+      .unionByName(edges.select(col("src").as("doc_id"))).distinct()
+    var labels = nodes.withColumn("label", col("doc_id"))
       .localCheckpoint(true)
+    // Labels only ever DECREASE (min of self + neighbors), so the exact
+    // per-round label sum is equal iff no label changed — one aggregate
+    // per round instead of a join + count. DECIMAL(38,0): exact at any
+    // id magnitude × corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
-    var changed = 1L
-    while (changed > 0) {
+    var converged = false
+    while (!converged) {
       round += 1
       require(round <= maxRounds, s"CC did not converge in $maxRounds rounds")
       val fromNeighbors = edges
@@ -122,11 +135,14 @@ object Dedup {
       val next = labels.unionByName(fromNeighbors)
         .groupBy("doc_id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .where(col("label") < col("old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
+      prevSum = nextSum
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    labels.join(docs.select("doc_id").distinct(), "doc_id")
+      .select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Deterministic 64-bit token hash for permutation `i` (seeded affine

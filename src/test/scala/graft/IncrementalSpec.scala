@@ -113,6 +113,23 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("keyed MERGE upsert: null key/partition values update, not duplicate") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-merge-null").toString + "/t"
+    val initial = Seq((Option("p1"), 1L, 10), (Option.empty[String], 2L, 20))
+      .toDF("part", "id", "value")
+    graft.io.Tables.mergeUpsertKeyed(spark, initial, path,
+      keys = Seq("part", "id"), partitionCols = Seq("part"))
+    // re-deliver the null-partition row modified
+    val batch = Seq((Option.empty[String], 2L, 99)).toDF("part", "id", "value")
+    graft.io.Tables.mergeUpsertKeyed(spark, batch, path,
+      keys = Seq("part", "id"), partitionCols = Seq("part"))
+    val after = spark.read.parquet(path).select("id", "value")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(after === Seq((1L, 10), (2L, 99)),
+      s"null-keyed row must update in place, got $after")
+  }
+
   test("bronze dedup is deterministic under input repartitioning") {
     val (raw, _) = Fixtures.rawSeason(spark)
     // duplicate every row (re-scrape overlap), shuffle partitioning

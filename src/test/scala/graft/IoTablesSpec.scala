@@ -111,9 +111,12 @@ class IoTablesSpec extends SparkSpec {
     val primary = s"$tierDir/primary"; val secondary = s"$tierDir/secondary"
     val csvDir = s"$tierDir/csv"
 
-    // the FIRST tier exists but holds no data files (crashed write) →
-    // it must not shadow the valid second tier
-    Files.createDirectories(java.nio.file.Paths.get(s"$primary/_temporary"))
+    // the FIRST tier exists but holds no VISIBLE data files (crashed
+    // write: part-files nested under _temporary are hidden to
+    // spark.read) → it must not shadow the valid second tier
+    Files.createDirectories(java.nio.file.Paths.get(s"$primary/_temporary/0"))
+    Files.write(java.nio.file.Paths.get(s"$primary/_temporary/0/part-00000.parquet"),
+      "junk".getBytes("UTF-8"))
     df.write.parquet(secondary)
     val fromSecondary = Tables.readSilverTiered(spark,
       Seq(primary, secondary), Some(csvDir), schema)

@@ -130,6 +130,14 @@ class LlmOperatorsSpec extends SparkSpec {
     // the 6-hop chain needs multiple propagation rounds; 20 is untouched
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       6L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+
+    // paths THROUGH nodes absent from docs still connect, and the
+    // output contains only docs rows
+    val filtered = Seq(1L, 3L).toDF("doc_id")
+    val viaMissing = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val cc2 = Dedup.duplicateClusters(viaMissing, filtered)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2 === Map(1L -> 1L, 3L -> 1L))
   }
 
   test("SimHash: identical token sets collide, distinct ones don't (here)") {
