@@ -199,6 +199,23 @@ object Similarity {
         col("neighbor_id"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max |component|, q_i = floor(v_i / scale · 127 + 0.5) ∈
+    * [-127, 127] — the 4× storage/bandwidth reduction step for an
+    * embedding table at corpus scale. Pure column expressions (no UDF,
+    * codegen'd); `floor(x + 0.5)` instead of ROUND because both engines
+    * evaluate it identically on doubles (ROUND half-even/half-up
+    * differences are the repo's known parity hazard). Dequantized error
+    * is bounded by scale/254 per component (QuantizeSpec). */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val vec = asDouble(col("embedding"))
+    val scale = greatest(array_max(transform(vec, x => abs(x))), lit(1e-30))
+    emb.select(col("vec_id"),
+      scale.as("scale"),
+      transform(vec, x => floor(x / scale * 127 + lit(0.5)).cast("int"))
+        .as("qvec"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), blocked on
     * equal `label` — the deterministic blocking key that keeps this off
     * the full cross product (the LSH buckets of [[annTopK]] serve the

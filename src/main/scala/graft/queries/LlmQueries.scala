@@ -261,6 +261,28 @@ object LlmQueries {
         .orderBy("query_id", "rank"),
       None),
 
+    // int8 embedding quantization (the 4× storage step for a corpus-
+    // scale embedding table); per-vector scale + checksum + saturation
+    // count make the output driver-sortable while pinning every
+    // quantized component transitively.
+    Q("q_embed_quantize_int8",
+      (s, dir) => Similarity.quantizeInt8(embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"),
+          size(filter(col("qvec"), x => abs(x) === 127)).cast("long").as("n_sat"))
+        .orderBy("vec_id"),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+             |  FROM embeddings),
+             |s AS (SELECT vec_id, vec,
+             |    GREATEST(list_max(list_transform(vec, x -> abs(x))), 1e-30) AS scale
+             |  FROM v),
+             |q AS (SELECT vec_id, scale,
+             |    list_transform(vec, x -> CAST(floor(x / scale * 127 + 0.5) AS INTEGER)) AS qvec
+             |  FROM s)
+             |SELECT vec_id, scale, CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+             |  CAST(len(list_filter(qvec, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     Q("q_embed_neardup_cosine",
       // 0.4 is calibrated to the synthetic embeddings (label-blocked
       // cosine tops out ≈0.47); a text-embedding corpus would use ~0.95

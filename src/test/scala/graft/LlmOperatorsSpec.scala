@@ -209,6 +209,28 @@ class LlmOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: range, saturation at the max, bounded dequant error") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val rows = graft.operators.Similarity.quantizeInt8(emb)
+      .join(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec")), "vec_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q = r.getSeq[Int](r.fieldIndex("qvec"))
+      val v = r.getSeq[Double](r.fieldIndex("vec"))
+      assert(q.forall(x => x >= -127 && x <= 127))
+      // the max-|component| quantizes to exactly ±127
+      assert(q.exists(x => math.abs(x) == 127))
+      // dequantization error ≤ scale/254 (half a quantization step)
+      v.zip(q).foreach { case (orig, quant) =>
+        val err = math.abs(orig - quant * scale / 127)
+        assert(err <= scale / 254 + 1e-12, s"err $err > ${scale / 254}")
+      }
+    }
+  }
+
   test("multimodal: payload schema + batched stub decode") {
     val media = Multimodal.attachPayload(
       spark.read.parquet(s"$sf/documents.parquet"))

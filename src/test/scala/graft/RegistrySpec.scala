@@ -12,8 +12,8 @@ class RegistrySpec extends SparkSpec {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size === names.size)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 75)
-    assert(SparkEntry.oracleSql.size >= 64)
+    assert(SparkEntry.queries.size >= 76)
+    assert(SparkEntry.oracleSql.size >= 65)
   }
 
   test("every query executes and returns rows at sf0.001") {
