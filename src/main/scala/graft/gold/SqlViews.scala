@@ -23,14 +23,38 @@ object SqlViews {
       // A table dropped from the in-memory catalog (e.g. by a previous
       // session's exit) can leave its managed location behind, which
       // CTAS refuses to reuse — clear the orphan so registration is
-      // idempotent across sessions, not just within one.
+      // idempotent across sessions, not just within one. ONLY a
+      // directory that is recognizably a Spark table artifact (holds a
+      // _SUCCESS marker or part-* data files at its top level, possibly
+      // under partition dirs) is removed; anything else under the
+      // database location that merely shares a table's name is user
+      // data and registration fails loudly instead of deleting it.
       if (!spark.catalog.tableExists(s"$database.$name")) {
         val loc = new org.apache.hadoop.fs.Path(dbLoc, name.toLowerCase)
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        if (fs.exists(loc)) {
+          require(isSparkTableArtifact(fs, loc),
+            s"registerGold: $loc exists but is not a Spark table artifact" +
+              " — refusing to delete; move it aside or drop it manually")
+          fs.delete(loc, true)
+        }
       }
       df.write.mode(SaveMode.Overwrite).saveAsTable(s"$database.$name")
     }
+  }
+
+  /** A directory counts as a Spark-written table artifact iff it is
+    * empty (crashed write) or holds a `_SUCCESS` marker / `part-*` data
+    * files at its top level or one level down (partitioned layout). */
+  private def isSparkTableArtifact(fs: org.apache.hadoop.fs.FileSystem,
+                                   loc: org.apache.hadoop.fs.Path): Boolean = {
+    val top = fs.listStatus(loc)
+    if (top.isEmpty) return true
+    def marker(n: String) = n == "_SUCCESS" || n.startsWith("part-")
+    top.exists(s => marker(s.getPath.getName)) ||
+      top.forall(s => s.getPath.getName.startsWith("_") || (s.isDirectory &&
+        fs.listStatus(s.getPath).forall(c => marker(c.getPath.getName) ||
+          c.getPath.getName.startsWith("_"))))
   }
 
   def dropGold(spark: SparkSession): Unit =

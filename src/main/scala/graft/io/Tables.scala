@@ -168,6 +168,13 @@ object Tables {
     *  3. union the source back in and dynamic-partition-overwrite the
     *     affected partitions (lineage-truncated first: the plan reads
     *     the same path the write replaces).
+    *
+    * Duplicate SOURCE keys fail fast (IllegalArgumentException) — the
+    * same contract as Delta MERGE's multiple-source-rows-matched error:
+    * with two source rows for one key, "source wins" is ambiguous and
+    * the union would silently store BOTH. Callers wanting last-wins
+    * must pre-reduce the batch themselves (see
+    * [[graft.silver.Enrich.dedup]] for the first-wins shape).
     */
   def mergeUpsertKeyed(spark: SparkSession, source: DataFrame, path: String,
                        keys: Seq[String], partitionCols: Seq[String]): Unit = {
@@ -180,7 +187,15 @@ object Tables {
     // honor without a full-table scan.
     require(partitionCols.forall(keys.contains),
       s"mergeUpsertKeyed needs keys ⊇ partitionCols (got keys=$keys, partitionCols=$partitionCols)")
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // Fail fast on duplicate source keys (Delta MERGE raises here too).
+    // One aggregation over the batch-sized source; limit(1) stops at the
+    // first offender.
+    val dup = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeUpsertKeyed: duplicate source rows for key ${keys.mkString(",")} = " +
+        dup.headOption.map(_.toSeq.init.mkString(",")).getOrElse(""))
     if (!tableExists(spark, path)) {
       source.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(path)

@@ -12,11 +12,17 @@ import graft.functions.TextAnalysis
   * running-sum window — one shuffle on the partition column, no
   * driver-side loop, reproducible under any input partitioning.
   *
-  * Scale: packing is embarrassingly parallel across `partitionCol`
-  * (lang here; shard id in a real corpus) — a GLOBAL greedy pack would
-  * serialize on a total order, which is exactly what the per-partition
-  * window avoids. Pack sizes overshoot the budget by at most one
-  * document (the greedy invariant, asserted in PackingSpec).
+  * Two formulations:
+  *  - [[assignPacks]]: window key = `partitionCol` alone. Correct, but
+  *    the window's parallelism caps at the column's cardinality (~5
+  *    langs here), so each partition's whole corpus sorts in ONE task —
+  *    fine for dimension-sized groups, a scale-killer for corpus-sized
+  *    ones.
+  *  - [[assignPacksSharded]]: the 100 TB shape — composite
+  *    (partitionCol, shard) window key whose cardinality grows with the
+  *    corpus, plus a dimension-sized offset join to make pack ids
+  *    globally unique. This is what the registry's `q_pack_sequences`
+  *    runs.
   */
 object Packing {
 
@@ -44,18 +50,31 @@ object Packing {
   /** Scale-shaped packing: the window key is the COMPOSITE
     * (partitionCol, shard) with shard = doc_id div shardWidth, so the
     * running-sum window's parallelism grows with the corpus instead of
-    * capping at the ~5 distinct languages (where each language's whole
-    * corpus would sort in ONE task). Per-shard pack ids are then offset
-    * by a prefix sum of per-shard pack counts, which makes `pack_id`
-    * globally unique AND contiguous from 0 within partitionCol — the
-    * same ids a single global greedy pass per partitionCol would emit
-    * pack-boundary-aligned at shard edges.
+    * capping at the ~5 distinct languages. Per-shard pack ids are then
+    * offset by a prefix sum of per-shard pack counts.
     *
-    * The offset table has one row per occupied shard (corpus/shardWidth
-    * rows, not corpus rows), so its prefix-sum window is dimension-sized
-    * and the offsets join broadcasts. Every pack lives entirely inside
-    * one shard, so all downstream per-pack work stays co-partitioned
+    * Semantics (deliberately NOT identical to [[assignPacks]]): packs
+    * never span a shard boundary — the greedy restarts at each shard
+    * edge, so pack contents realign there and `pack_tokens` can differ
+    * from the unsharded greedy. Ids are unique and order-consistent
+    * within `partitionCol` (doc order ⇒ non-decreasing pack_id) but not
+    * necessarily contiguous: a single document larger than `budget`
+    * skips ids, exactly as in [[assignPacks]]. Every pack lives entirely
+    * inside one shard, so downstream per-pack work stays co-partitioned
     * with the (partitionCol, shard) shuffle.
+    *
+    * Cost shape: the corpus-sized window runs ONCE (the offset table is
+    * derived from plain per-shard aggregates — total tokens and the
+    * last document's tokens — using the greedy identity
+    * n_packs = floor((total − last)/budget) + 1, valid because
+    * cum_before is maximal at the shard's last document). The offset
+    * table has one row per occupied (partitionCol, shard) — corpus /
+    * shardWidth rows, not corpus rows — and is joined back with an
+    * explicit `broadcast` since that dimension-sized join is
+    * load-bearing for the no-second-shuffle design.
+    *
+    * Returns the same schema as [[assignPacks]]:
+    * (doc_id, partitionCol, n_tokens, pack_id).
     */
   def assignPacksSharded(docs: DataFrame, budget: Long,
                          partitionCol: String = "lang",
@@ -71,15 +90,21 @@ object Packing {
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("local_pack", floor(col("cum_before") / lit(budget.toDouble)))
       .drop("cum_before")
+    // Per-shard pack count WITHOUT re-running the corpus window:
+    // local_pack is non-decreasing in doc order, so its max is attained
+    // at the shard's last doc, where cum_before = total − last_tokens.
     val wo = Window.partitionBy(partitionCol).orderBy("shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = assigned.groupBy(col(partitionCol), col("shard"))
-      .agg((max("local_pack") + 1).as("n_packs"))
+    val offsets = local.groupBy(col(partitionCol), col("shard"))
+      .agg(sum("n_tokens").as("tot"),
+        max_by(col("n_tokens"), col("doc_id")).as("last_toks"))
+      .withColumn("n_packs",
+        floor((col("tot") - col("last_toks")) / lit(budget.toDouble)) + 1)
       .withColumn("pack_offset", coalesce(sum("n_packs").over(wo), lit(0L)))
-      .drop("n_packs")
-    assigned.join(offsets, Seq(partitionCol, "shard"))
+      .select(col(partitionCol), col("shard"), col("pack_offset"))
+    assigned.join(broadcast(offsets), Seq(partitionCol, "shard"))
       .withColumn("pack_id", col("local_pack") + col("pack_offset"))
-      .drop("local_pack", "pack_offset")
+      .select(col("doc_id"), col(partitionCol), col("n_tokens"), col("pack_id"))
   }
 
   /** Pack-level summary over [[assignPacksSharded]]: docs and token

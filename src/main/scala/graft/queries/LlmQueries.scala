@@ -102,23 +102,34 @@ object LlmQueries {
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Sequence packing: fixed token-budget packs per lang (the
-    // dedup→pack step of a training-data pipeline). The greedy-by-order
-    // assignment is a running-sum window, so DuckDB reproduces it
-    // exactly.
+    // dedup→pack step of a training-data pipeline). Runs the SHARDED
+    // formulation — composite (lang, shard) window key + broadcast
+    // offset join — so the window's parallelism grows with the corpus
+    // instead of capping at ~5 langs; the oracle reproduces the same
+    // shard-composite greedy (packs realign at shard edges by design).
     Q("q_pack_sequences",
       (s, dir) => graft.operators.Packing
-        .packSummary(documents(s, dir), 512)
+        .packSummarySharded(documents(s, dir), 512, shardWidth = 100L)
         .orderBy("lang", "pack_id"),
-      Some("""WITH t AS (SELECT doc_id, lang,
+      Some("""WITH t AS (SELECT doc_id, lang, doc_id // 100 AS shard,
              |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
              |  FROM documents),
-             |c AS (SELECT lang, n_tokens,
-             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |c AS (SELECT lang, shard, doc_id, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-             |  FROM t)
-             |SELECT lang, CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS pack_id,
+             |  FROM t),
+             |l AS (SELECT lang, shard, n_tokens,
+             |    CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS local_pack FROM c),
+             |o AS (SELECT lang, shard, MAX(local_pack) + 1 AS n_packs
+             |  FROM l GROUP BY lang, shard),
+             |o2 AS (SELECT lang, shard,
+             |    COALESCE(SUM(n_packs) OVER (PARTITION BY lang ORDER BY shard
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+             |  FROM o)
+             |SELECT l.lang, l.local_pack + o2.pack_offset AS pack_id,
              |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
-             |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin)),
+             |FROM l JOIN o2 ON l.lang = o2.lang AND l.shard = o2.shard
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Generator/UDTF surface (SURVEY §2.11 lists it absent in the
     // reference): explode a split column into rows — the vocabulary
@@ -136,17 +147,17 @@ object LlmQueries {
              |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin)),
 
     // Stratified (class-balanced) sampling — the lang-balanced
-    // subsampling step of a corpus pipeline. Per-stratum Bernoulli
-    // sampling is seed-deterministic but engine-specific, so rows-only;
-    // determinism + per-stratum rates are asserted in LlmOperatorsSpec.
+    // subsampling step of a corpus pipeline. Membership is a pure
+    // function of (doc_id, seed) — NOT sampleBy's rand(seed), whose
+    // draw order depends on physical partition layout — so the sample
+    // is reproducible under any file split or repartition. Spark's
+    // murmur3 hash is engine-specific, so rows-only; determinism +
+    // per-stratum rates are asserted in LlmOperatorsSpec.
     Q("q_sample_stratified",
-      (s, dir) => {
-        val d = documents(s, dir)
-        val langs = d.select("lang").distinct().collect().map(_.getString(0))
-        val fractions = langs.map(l => l -> (if (l <= "en") 0.5 else 0.2)).toMap
-        d.stat.sampleBy("lang", fractions, 42L)
-          .select("doc_id", "lang").orderBy("doc_id")
-      },
+      (s, dir) => graft.operators.Sampling.stratifiedByHash(
+          documents(s, dir),
+          when(col("lang") <= "en", 0.5).otherwise(0.2))
+        .select("doc_id", "lang").orderBy("doc_id"),
       None),
 
     Q("q_text_fingerprint_rolling",
@@ -337,20 +348,35 @@ object LlmQueries {
         .orderBy("event_type"),
       None),
 
-    // The driver's rows-only compare sorts/hashes in pandas, which cannot
-    // order an array<float> column — so the 4-float feature vector is
-    // projected to scalar columns here (the operator itself still returns
-    // the array; see MultimodalSpec).
+    // The stub features are pure byte arithmetic, so DuckDB reproduces
+    // them from hex(encode(text)) — a full independent oracle for the
+    // decode plumbing. Projection choices for hash parity: the float
+    // features cast to long (exact: byte sums stay far below 2^24);
+    // f_mean recomputed as the DOUBLE ratio of those longs (the stub's
+    // float division would differ in the last bits); f_mix (a
+    // position-dependent XOR fold) and batch_size (partition-layout-
+    // dependent by design) stay out of the oracled projection — both are
+    // asserted in LlmOperatorsSpec instead.
     Q("q_multimodal_features",
       (s, dir) => Multimodal.extractFeatures(s,
           Multimodal.attachPayload(documents(s, dir)))
         .select(col("doc_id"),
-          col("features")(0).as("f_byte_len"),
-          col("features")(1).as("f_byte_sum"),
-          col("features")(2).as("f_mix"),
-          col("features")(3).as("f_mean"),
-          col("batch_size"))
+          col("features")(0).cast("long").as("f_byte_len"),
+          col("features")(1).cast("long").as("f_byte_sum"))
+        .withColumn("f_mean", when(col("f_byte_len") === 0, lit(0.0))
+          .otherwise(col("f_byte_sum").cast("double") / col("f_byte_len")))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS f_byte_len,
+             |    CAST(COALESCE(list_sum(list_transform(
+             |      regexp_extract_all(hex(encode(text)), '..'),
+             |      x -> (strpos('0123456789ABCDEF', x[1]) - 1) * 16
+             |           + strpos('0123456789ABCDEF', x[2]) - 1)), 0) AS BIGINT)
+             |      AS f_byte_sum
+             |  FROM documents)
+             |SELECT doc_id, f_byte_len, f_byte_sum,
+             |  CASE WHEN f_byte_len = 0 THEN 0.0
+             |       ELSE CAST(f_byte_sum AS DOUBLE) / f_byte_len END AS f_mean
+             |FROM b ORDER BY doc_id""".stripMargin)),
   )
 }

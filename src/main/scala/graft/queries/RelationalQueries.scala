@@ -310,24 +310,40 @@ object RelationalQueries {
              |ORDER BY user_id""".stripMargin)),
 
     // X2-shaped fuzzy matching on testdata (SURVEY §7.3): closest
-    // customer name per supplier by edit distance, with candidates
-    // BLOCKED on the shared nation key — the same scoped-candidate
-    // pruning the reference applies per team (ex_match_bs.py:249-259),
-    // which is what keeps fuzzy matching off the full cross product at
-    // scale. levenshtein is built-in in both engines, so this is the one
-    // fuzzy query with a full independent oracle.
+    // customer name per supplier by edit distance, candidates BLOCKED on
+    // the shared nation key — the same scoped-candidate pruning the
+    // reference applies per team (ex_match_bs.py:249-259) — AND bounded
+    // by a score cutoff, the reference's score_cutoff semantics
+    // (ex_match_bs.py:198, cutoffs 75/70 on WRatio; here normalized
+    // levenshtein ≥ 0.65, calibrated so the synthetic names still
+    // match). The cutoff is what makes fuzzy matching scale: dist ≤
+    // (1−t)·max(|a|,|b|) forces |len(a)−len(b)| ≤ (1−t)·max, i.e.
+    // min ≥ t·max — the SAME multiplicative size condition as Jaccard —
+    // so candidates block on (nation, ln-scale length bucket ±1)
+    // (Dedup.sizeBucket) and per-block work stops growing quadratically
+    // with corpus scale-up. Blocking is lossless (necessary condition),
+    // so the oracle needs no bucket: plain join + cutoff.
+    // levenshtein is built-in in both engines, so this is the one fuzzy
+    // query with a full independent oracle.
     Q("q_x2_fuzzy_scoped",
       (s, dir) => {
+        val t = 0.65
         val sup = supplier(s, dir).select(col("s_suppkey"), col("s_name"),
           col("s_nationkey").as("nk"))
+          .withColumn("la", length(col("s_name")))
+          .withColumn("len_bucket", graft.operators.Dedup.sizeBucket(col("la"), t))
+        val bkt = graft.operators.Dedup.sizeBucket(col("lb"), t)
         val cus = customer(s, dir).select(col("c_custkey"), col("c_name"),
           col("c_nationkey").as("nk"))
+          .withColumn("lb", length(col("c_name")))
+          .withColumn("len_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
         // best-match via min_by, not a sort window: the argmin hash
         // aggregate gets map-side partial aggregation, so the candidate
         // explosion combines before the shuffle instead of fully
         // sorting. Tie-break by c_custkey makes the argmin total.
-        sup.join(cus, "nk")
+        sup.join(cus, Seq("nk", "len_bucket"))
           .withColumn("dist", levenshtein(col("s_name"), col("c_name")))
+          .where(col("dist") <= (lit(1.0) - t) * greatest(col("la"), col("lb")))
           .groupBy("s_suppkey")
           .agg(min_by(struct(col("c_custkey"), col("dist")),
             struct(col("dist"), col("c_custkey"))).as("best"))
@@ -340,7 +356,9 @@ object RelationalQueries {
              |    CAST(levenshtein(s_name, c_name) AS BIGINT) AS dist,
              |    ROW_NUMBER() OVER (PARTITION BY s_suppkey
              |      ORDER BY levenshtein(s_name, c_name), c_custkey) AS rn
-             |  FROM supplier JOIN customer ON s_nationkey = c_nationkey)
+             |  FROM supplier JOIN customer ON s_nationkey = c_nationkey
+             |  WHERE levenshtein(s_name, c_name)
+             |    <= (1.0 - 0.65) * greatest(len(s_name), len(c_name)))
              |WHERE rn = 1 ORDER BY s_suppkey""".stripMargin)),
 
     // Semi/anti joins — SURVEY §2.11 lists them absent in the reference;

@@ -111,6 +111,17 @@ class IncrementalSpec extends SparkSpec {
       graft.io.Tables.mergeUpsertKeyed(spark, batch, path,
         keys = Seq("id"), partitionCols = Seq("part"))
     }
+
+    // duplicate SOURCE keys fail fast (Delta MERGE multi-match
+    // semantics) — the union would otherwise store BOTH rows
+    val dupBatch = Seq(("p1", 1L, "first", 1), ("p1", 1L, "second", 2))
+      .toDF("part", "id", "name", "value")
+    intercept[IllegalArgumentException] {
+      graft.io.Tables.mergeUpsertKeyed(spark, dupBatch, path,
+        keys = Seq("part", "id"), partitionCols = Seq("part"))
+    }
+    // and the failed merge left the table untouched
+    assert(spark.read.parquet(path).count() === 5)
   }
 
   test("keyed MERGE upsert: null key/partition values update, not duplicate") {

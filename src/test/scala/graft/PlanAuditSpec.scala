@@ -61,6 +61,16 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("q_x2_fuzzy_scoped: candidate join key includes the length bucket") {
+    val plan = executed("q_x2_fuzzy_scoped")
+    // the equi-join key must be (nation, length bucket), not nation
+    // alone — per-block work would otherwise grow quadratically with
+    // corpus scale-up
+    assert(plan.contains("len_bucket"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("q_dedup_ngram_jaccard: candidate join key includes the size bucket") {
     val plan = executed("q_dedup_ngram_jaccard")
     assert(plan.contains("size_bucket"), plan.take(1500))
@@ -68,13 +78,23 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
-  test("q_pack_sequences: window + pack aggregation share ONE lang exchange") {
+  test("q_pack_sequences: sharded window key, broadcast offsets, bounded exchanges") {
     val plan = executed("q_pack_sequences")
-    // 1 hashpartitioning(lang) serves the running-sum window AND the
-    // (lang, pack_id) aggregation (group key extends the partition key);
-    // 1 rangepartitioning for the output ORDER BY
+    // the corpus-sized running-sum window partitions on the COMPOSITE
+    // (lang, shard) key — parallelism grows with the corpus, never caps
+    // at the ~5 langs
+    assert("hashpartitioning\\(lang[^)]*shard".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+    // the dimension-sized offsets table joins back via broadcast, never
+    // a corpus-wide sort-merge
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    // exchange budget: (lang,shard) window; offsets final agg;
+    // offsets lang prefix-sum window (dimension-sized); (lang,pack_id)
+    // pack aggregation; output ORDER BY — anything beyond 5 is a
+    // regression
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toSeq
-    assert(exchanges.size == 2, s"${exchanges.size} exchanges:\n${plan.take(1200)}")
+    assert(exchanges.size <= 5, s"${exchanges.size} exchanges:\n${plan.take(2000)}")
   }
 
   test("q_sql_view_topk: the SQL text compiles to the DataFrame top-k plan") {

@@ -57,4 +57,26 @@ class SqlSurfaceSpec extends SparkSpec {
     SqlViews.dropGold(spark)
     assert(!spark.catalog.databaseExists(SqlViews.database))
   }
+
+  test("registration refuses to delete a non-table directory at a table location") {
+    val g = gold // force fixture
+    SqlViews.dropGold(spark)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${SqlViews.database}")
+    val dbLoc = spark.catalog.getDatabase(SqlViews.database).locationUri
+    val name = g.keys.head
+    val loc = new org.apache.hadoop.fs.Path(dbLoc, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val userFile = new org.apache.hadoop.fs.Path(loc, "user_data.txt")
+    fs.mkdirs(loc)
+    val out = fs.create(userFile); out.write(42); out.close()
+    try {
+      // the dir shares the table's name but is NOT a Spark table
+      // artifact — registration must fail loudly, never delete it
+      intercept[IllegalArgumentException] { SqlViews.registerGold(spark, g) }
+      assert(fs.exists(userFile), "user data must survive the refused registration")
+    } finally {
+      fs.delete(loc, true)
+      SqlViews.registerGold(spark, g) // restore for any later suite
+    }
+  }
 }
