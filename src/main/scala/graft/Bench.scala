@@ -59,7 +59,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The harness keeps only the TAIL of this process's output, and the
+    // full per-query map is one long line — so emit the headline total on
+    // its own short line FIRST (survives any truncation that still keeps
+    // the JSON line) and persist the complete JSON to a file as the
+    // canonical record.
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

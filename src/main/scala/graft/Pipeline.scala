@@ -29,14 +29,17 @@ object Pipeline {
   def toBronze(raw: DataFrame): DataFrame =
     Innings.addInnings(dedupDecoded(EventDecode.decode(raw)))
 
+  /** Logical identity of a decoded delivery row — everything except the
+    * per-scrape `seq`/`extract_time`. Also the merge key of the
+    * incremental MERGE-upsert mode (Incremental.processBatchMerge). */
+  val dupKey: Seq[String] = Seq("match", "over", "ball", "bowler",
+    "batsman", "runs", "extra_runs", "extra", "extra_type", "rebowl",
+    "wicket", "wicket_method", "out_batsman", "total_runs")
+
   /** First-in-ingest-order dedup of decoded delivery rows (also reused by
     * the incremental path, which merges decoded batches before innings
     * assignment). */
   def dedupDecoded(decoded: DataFrame): DataFrame = {
-    // `seq`/`extract_time` vary per scrape; dedup on the logical row
-    val dupKey = Seq("match", "over", "ball", "bowler", "batsman", "runs",
-      "extra_runs", "extra", "extra_type", "rebowl", "wicket",
-      "wicket_method", "out_batsman", "total_runs")
     val w = Window.partitionBy(dupKey.map(col): _*).orderBy("seq")
     decoded.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")

@@ -29,32 +29,11 @@ object SqlViews {
       // under partition dirs) is removed; anything else under the
       // database location that merely shares a table's name is user
       // data and registration fails loudly instead of deleting it.
-      if (!spark.catalog.tableExists(s"$database.$name")) {
-        val loc = new org.apache.hadoop.fs.Path(dbLoc, name.toLowerCase)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) {
-          require(isSparkTableArtifact(fs, loc),
-            s"registerGold: $loc exists but is not a Spark table artifact" +
-              " — refusing to delete; move it aside or drop it manually")
-          fs.delete(loc, true)
-        }
-      }
+      if (!spark.catalog.tableExists(s"$database.$name"))
+        graft.io.Tables.clearOrphanTableLocation(spark,
+          new org.apache.hadoop.fs.Path(dbLoc, name.toLowerCase))
       df.write.mode(SaveMode.Overwrite).saveAsTable(s"$database.$name")
     }
-  }
-
-  /** A directory counts as a Spark-written table artifact iff it is
-    * empty (crashed write) or holds a `_SUCCESS` marker / `part-*` data
-    * files at its top level or one level down (partitioned layout). */
-  private def isSparkTableArtifact(fs: org.apache.hadoop.fs.FileSystem,
-                                   loc: org.apache.hadoop.fs.Path): Boolean = {
-    val top = fs.listStatus(loc)
-    if (top.isEmpty) return true
-    def marker(n: String) = n == "_SUCCESS" || n.startsWith("part-")
-    top.exists(s => marker(s.getPath.getName)) ||
-      top.forall(s => s.getPath.getName.startsWith("_") || (s.isDirectory &&
-        fs.listStatus(s.getPath).forall(c => marker(c.getPath.getName) ||
-          c.getPath.getName.startsWith("_"))))
   }
 
   def dropGold(spark: SparkSession): Unit =

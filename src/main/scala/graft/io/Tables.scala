@@ -232,10 +232,46 @@ object Tables {
     * joins that recur on the same key (a broadcast can't cover two big
     * sides); asserted shuffle-free in BucketedJoinSpec. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int = 32): Unit =
+                    buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table))
+      clearOrphanTableLocation(spark, new Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase))
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+  }
+
+  /** `saveAsTable(Overwrite)` refuses to reuse a managed location left
+    * behind by a table dropped from a previous session's in-memory
+    * catalog. Callers invoke this when the target table is ABSENT from
+    * the catalog: an existing directory at its managed location is then
+    * an orphan and is removed — but ONLY if it is recognizably a Spark
+    * table artifact (a `_SUCCESS` marker or `part-*` files at its top
+    * level or one level down, or an empty dir from a crashed write).
+    * Anything else merely sharing the table's name is user data, and
+    * this fails loudly instead of deleting it. */
+  private[graft] def clearOrphanTableLocation(spark: SparkSession,
+                                              loc: Path): Unit = {
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) {
+      require(isSparkTableArtifact(fs, loc),
+        s"$loc exists but is not a Spark table artifact — refusing to" +
+          " delete; move it aside or drop it manually")
+      fs.delete(loc, true)
+    }
+  }
+
+  private def isSparkTableArtifact(fs: org.apache.hadoop.fs.FileSystem,
+                                   loc: Path): Boolean = {
+    val top = fs.listStatus(loc)
+    if (top.isEmpty) return true
+    def marker(n: String) = n == "_SUCCESS" || n.startsWith("part-")
+    top.exists(s => marker(s.getPath.getName)) ||
+      top.forall(s => s.getPath.getName.startsWith("_") || (s.isDirectory &&
+        fs.listStatus(s.getPath).forall(c => marker(c.getPath.getName) ||
+          c.getPath.getName.startsWith("_"))))
+  }
 
   /** S9 — gold full-overwrite sink (ex_match_sg.py:299-315). */
   def writeGold(df: DataFrame, path: String): Unit =

@@ -94,11 +94,17 @@ object Dedup {
     * (from [[jaccardPairs]] / [[minhashLshPairs]] /
     * [[simhashNearDupPairs]]) into dedup groups.
     *
-    * Algorithm: iterative smallest-label propagation — each round every
-    * node takes the min of its own and its neighbors' labels (one
-    * hash-join + min-aggregate per round, both map-side combining), and
-    * the loop stops when no label changes. Rounds = component diameter;
-    * near-dup clusters are tight, so convergence is fast. Labels are
+    * Algorithm: iterative smallest-label propagation with pointer
+    * jumping — each round every node takes the min of its own and its
+    * neighbors' labels (one hash-join + min-aggregate, both map-side
+    * combining), then shortcuts label := label(label) (one more hash
+    * join; labels are node ids, so the lookup is total). The jump halves
+    * the distance to each component's minimum every round, so the round
+    * bound is O(log diameter) — a 10k-link chain converges in ~15
+    * rounds, not 10k — at the price of a second corpus-sized join per
+    * round (irrelevant for the tight clusters near-dup graphs produce,
+    * decisive for adversarial chains; pinned in LlmOperatorsSpec's
+    * path-graph test). The loop stops when no label changes. Labels are
     * `localCheckpoint`ed per round so the plan doesn't grow with the
     * iteration count; the driver holds only a change COUNT, never the
     * graph. Returns (doc_id, cluster_id), deterministic for any input
@@ -121,8 +127,11 @@ object Dedup {
     // per-round label sum is equal iff no label changed — one aggregate
     // per round instead of a join + count. DECIMAL(38,0): exact at any
     // id magnitude × corpus size.
+    // coalesce keeps the empty-graph case total (sum over zero rows is
+    // null, and null.compareTo would NPE the convergence probe)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).first().getDecimal(0)
+      df.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0)))).first().getDecimal(0)
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
@@ -132,8 +141,19 @@ object Dedup {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.unionByName(fromNeighbors)
+      val propagated = labels.unionByName(fromNeighbors)
         .groupBy("doc_id").agg(min("label").as("label"))
+      // pointer jumping: label := label(label). Every label IS a node id
+      // (initial labels are ids; min only selects among them), so the
+      // left join always matches — coalesce only guards the in-flight
+      // case where the mapping row lands in a later partition batch.
+      // Labels stay monotone non-decreasing downward: label(label) ≤
+      // label because every node's label ≤ its own id.
+      val mapping = propagated
+        .select(col("doc_id").as("map_src"), col("label").as("map_dst"))
+      val next = propagated.join(mapping, col("label") === col("map_src"), "left")
+        .select(col("doc_id"),
+          coalesce(col("map_dst"), col("label")).as("label"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0

@@ -409,6 +409,35 @@ object RelationalQueries {
               |  FROM orders GROUP BY o_custkey) t ON o_custkey = ck
               |ORDER BY o_orderkey""".stripMargin)),
 
+    // Bucketed (co-located) fact-to-fact join: both sides pre-shuffled
+    // on the join key at WRITE time (io/Tables.writeBucketed), so the
+    // join AND the per-key aggregation run with zero exchanges on the
+    // key at read time — the 100 TB shape for joins that recur on one
+    // key and whose sides are both too big to broadcast. The per-key agg
+    // groups on (o_custkey, c_name): c_name is functionally dependent,
+    // so bucket partitioning on o_custkey alone still satisfies the
+    // clustering requirement and no exchange is inserted (pinned in
+    // PlanAuditSpec). The oracle is the plain join — bucketing is a
+    // physical property, invisible in the result.
+    Q("q_bucketed_join",
+      (s, dir) => {
+        graft.io.Tables.writeBucketed(orders(s, dir),
+          "graft_bucketed_orders", "o_custkey", 16)
+        graft.io.Tables.writeBucketed(
+          customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
+          "graft_bucketed_customer", "o_custkey", 16)
+        s.table("graft_bucketed_orders")
+          .join(s.table("graft_bucketed_customer"), "o_custkey")
+          .groupBy(col("o_custkey").as("c_custkey"), col("c_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("spend"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |  ${sqlDsum("o_totalprice")} AS spend
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)),
+
     // Temporal joins — operators Spark lacks natively, composed scale-
     // first (operators/TemporalJoins.scala); oracles use DuckDB's native
     // ASOF JOIN / inequality join as the independent formulation.

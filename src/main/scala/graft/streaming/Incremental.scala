@@ -34,12 +34,16 @@ import graft.silver.Enrich
   */
 object Incremental {
 
-  /** Process one micro-batch of raw snapshot rows (exposed for tests +
-    * reuse by a non-streaming backfill). */
-  def processBatch(spark: SparkSession, rawBatch: DataFrame, meta: DataFrame,
-                   bronzePath: String, silverPath: String,
-                   players: Option[DataFrame] = None): Unit = {
-    if (rawBatch.isEmpty) return
+  /** The shared per-batch computation: decode, merge with the stored
+    * bronze rows of the affected matches (innings assignment needs
+    * whole-match context), first-wins dedup, innings segmentation.
+    * Returns (bronze rows for the affected matches — lineage-truncated,
+    * safe to write over `bronzePath` — the pinned schema, the affected
+    * match ids), or None for an empty batch. */
+  private def bronzeForBatch(spark: SparkSession, rawBatch: DataFrame,
+                             bronzePath: String)
+      : Option[(DataFrame, org.apache.spark.sql.types.StructType, Seq[String])] = {
+    if (rawBatch.isEmpty) return None
     val decoded = EventDecode.decode(rawBatch)
     val matches = decoded.select("match").distinct()
       .collect().map(_.getString(0)).toSeq
@@ -71,19 +75,61 @@ object Incremental {
     // otherwise read partially-replaced state with no recovery copy.
     val bronze = Innings.addInnings(Pipeline.dedupDecoded(merged))
       .localCheckpoint(eager = true)
-    bronze.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("match").parquet(bronzePath)
-
-    // Re-read the just-written partitions so silver derives from the
-    // stored bronze (the reference's silver job reads the bronze file).
-    val storedBronze = spark.read.schema(bronzeSchema).parquet(bronzePath)
-      .where(col("match").isin(matches: _*))
-    val silver = Enrich.transform(spark, storedBronze, meta, players)
-    silver.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("match", "innings").parquet(silverPath)
+    Some((bronze, bronzeSchema, matches))
   }
+
+  /** Process one micro-batch of raw snapshot rows (exposed for tests +
+    * reuse by a non-streaming backfill). T3 as dynamic partition
+    * overwrite: the affected `match` / `(match, innings)` partitions are
+    * rewritten wholesale. */
+  def processBatch(spark: SparkSession, rawBatch: DataFrame, meta: DataFrame,
+                   bronzePath: String, silverPath: String,
+                   players: Option[DataFrame] = None): Unit =
+    bronzeForBatch(spark, rawBatch, bronzePath).foreach {
+      case (bronze, bronzeSchema, matches) =>
+        bronze.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("match").parquet(bronzePath)
+
+        // Re-read the just-written partitions so silver derives from the
+        // stored bronze (the reference's silver job reads the bronze file).
+        val storedBronze = spark.read.schema(bronzeSchema).parquet(bronzePath)
+          .where(col("match").isin(matches: _*))
+        val silver = Enrich.transform(spark, storedBronze, meta, players)
+        silver.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("match", "innings").parquet(silverPath)
+    }
+
+  /** The alternative T2/T3 formulation: keyed MERGE upsert (Delta MERGE
+    * semantics via [[graft.io.Tables.mergeUpsertKeyed]]) instead of
+    * partition overwrite. Bronze merges on the logical delivery identity
+    * ([[Pipeline.dupKey]] — first-wins dedup makes the batch unique on
+    * it); silver on the ball key `(match, innings, over, ball, rebowl)`
+    * (unique after Enrich's keyed dedup). Row-level instead of
+    * partition-level replacement: re-delivered identical rows rewrite in
+    * place, unrelated rows in the same partition are carried over by the
+    * merge, and both modes converge to the same stored tables
+    * (IncrementalSpec pins this). Innings stay stable under merge
+    * because batch rows always sequence AFTER stored rows, so session
+    * boundaries of already-stored deliveries never move.
+    */
+  def processBatchMerge(spark: SparkSession, rawBatch: DataFrame,
+                        meta: DataFrame, bronzePath: String,
+                        silverPath: String,
+                        players: Option[DataFrame] = None): Unit =
+    bronzeForBatch(spark, rawBatch, bronzePath).foreach {
+      case (bronze, bronzeSchema, matches) =>
+        gio.Tables.mergeUpsertKeyed(spark, bronze, bronzePath,
+          keys = Pipeline.dupKey, partitionCols = Seq("match"))
+
+        val storedBronze = spark.read.schema(bronzeSchema).parquet(bronzePath)
+          .where(col("match").isin(matches: _*))
+        val silver = Enrich.transform(spark, storedBronze, meta, players)
+        gio.Tables.mergeUpsertKeyed(spark, silver, silverPath,
+          keys = Seq("match", "innings", "over", "ball", "rebowl"),
+          partitionCols = Seq("match", "innings"))
+    }
 
   /** T1: watch `rawDir` for new CSV snapshots and upsert bronze+silver
     * per micro-batch. `AvailableNow` drains everything unprocessed and
@@ -91,16 +137,20 @@ object Incremental {
     * polling loop, ex_match_raw.py:270-271). */
   def run(spark: SparkSession, rawDir: String, meta: DataFrame,
           bronzePath: String, silverPath: String, checkpoint: String,
-          players: Option[DataFrame] = None): StreamingQuery = {
+          players: Option[DataFrame] = None,
+          mergeMode: Boolean = false): StreamingQuery = {
     val stream = spark.readStream
       .option("header", "true")
       .schema(Schemas.rawBall)
       .csv(rawDir)
+    val upsert: (SparkSession, DataFrame, DataFrame, String, String,
+      Option[DataFrame]) => Unit =
+      if (mergeMode) processBatchMerge else processBatch
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, meta, bronzePath, silverPath, players)
+        upsert(spark, batch, meta, bronzePath, silverPath, players)
       }
       .start()
   }

@@ -141,6 +141,50 @@ class IncrementalSpec extends SparkSpec {
       s"null-keyed row must update in place, got $after")
   }
 
+  test("merge-mode incremental drain converges to the overwrite mode") {
+    // the alternative T2/T3 formulation — keyed MERGE upsert instead of
+    // dynamic partition overwrite — must produce the SAME stored bronze
+    // and silver tables over the same batch sequence, including a
+    // re-delivered duplicate
+    val base = Files.createTempDirectory("graft-incr-merge").toString
+    val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
+    val (_, meta) = Fixtures.rawSeason(spark)
+    val allMatches = meta.select("short_name").collect().map(_.getString(0)).toSeq
+    val (firstHalf, secondHalf) = allMatches.splitAt(allMatches.size / 2)
+
+    def drainAll(mergeMode: Boolean, tag: String): (String, String) = {
+      val bronzePath = s"$base/bronze_$tag"; val silverPath = s"$base/silver_$tag"
+      val ckpt = s"$base/ckpt_$tag"
+      writeMatchCsvs(rawDir, firstHalf)
+      Incremental.run(spark, rawDir, meta, bronzePath, silverPath, ckpt,
+        mergeMode = mergeMode).awaitTermination()
+      writeMatchCsvs(rawDir, secondHalf)
+      Files.copy(Paths.get(s"$rawDir/${firstHalf.head}.csv"),
+        Paths.get(s"$rawDir/${firstHalf.head}_redelivery.csv"))
+      Incremental.run(spark, rawDir, meta, bronzePath, silverPath, ckpt,
+        mergeMode = mergeMode).awaitTermination()
+      Files.delete(Paths.get(s"$rawDir/${firstHalf.head}_redelivery.csv"))
+      (bronzePath, silverPath)
+    }
+
+    val (bronzeA, silverA) = drainAll(mergeMode = false, "overwrite")
+    val (bronzeB, silverB) = drainAll(mergeMode = true, "merge")
+
+    def bronzeSummary(path: String): Seq[String] =
+      spark.read.parquet(path)
+        .select("match", "innings", "over", "ball", "rebowl", "runs",
+          "total_runs", "wicket", "wicket_method")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    assert(bronzeSummary(bronzeB) === bronzeSummary(bronzeA))
+    assert(silverSummary(spark.read.parquet(silverB)) ===
+      silverSummary(spark.read.parquet(silverA)))
+
+    // and the merge mode agrees with the one-shot batch pipeline
+    val (rawAll, _) = Fixtures.rawSeason(spark)
+    assert(silverSummary(spark.read.parquet(silverB)) ===
+      silverSummary(Pipeline.toSilver(spark, Pipeline.toBronze(rawAll), meta)))
+  }
+
   test("bronze dedup is deterministic under input repartitioning") {
     val (raw, _) = Fixtures.rawSeason(spark)
     // duplicate every row (re-scrape overlap), shuffle partitioning

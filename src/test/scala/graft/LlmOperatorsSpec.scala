@@ -187,19 +187,26 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall < 0.6 (${exact.size} truth pairs)")
   }
 
-  test("stratified sample: seed-deterministic, subset, near target rates") {
+  test("stratified sample: layout-independent, deterministic, near target rates") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
     val fractions = Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2)
       .filter { case (l, _) => langs.contains(l) }
-    def sample() = docs.stat.sampleBy("lang", fractions, 42L)
-    val a = sample().select("doc_id").as[Long](spark.implicits.newLongEncoder).collect().sorted
-    val b = sample().select("doc_id").as[Long](spark.implicits.newLongEncoder).collect().sorted
-    assert(a.toSeq === b.toSeq, "same seed must give the same sample")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.stratifiedByHash(d, "lang", fractions, "doc_id", 42)
+        .select("doc_id").as[Long](spark.implicits.newLongEncoder).collect().sorted.toSeq
+    val a = ids(docs)
+    assert(a === ids(docs), "same seed must give the same sample")
+    // layout independence — the defect sampleBy has: membership must be
+    // a pure function of doc_id, identical under ANY partitioning
+    assert(a === ids(docs.repartition(13)))
+    assert(a === ids(docs.coalesce(1)))
     val all = docs.select("doc_id").as[Long](spark.implicits.newLongEncoder).collect().toSet
     assert(a.forall(all.contains))
     // per-stratum rate within a loose Bernoulli tolerance
-    val got = sample().groupBy("lang").count().collect()
+    val sampled = graft.operators.Sampling
+      .stratifiedByHash(docs, "lang", fractions, "doc_id", 42)
+    val got = sampled.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val totals = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -207,6 +214,44 @@ class LlmOperatorsSpec extends SparkSpec {
       val rate = got.getOrElse(l, 0L).toDouble / totals(l)
       assert(math.abs(rate - f) < 0.15, s"stratum $l rate $rate vs target $f")
     }
+  }
+
+  test("duplicate clusters: empty pair graph / empty corpus is a no-op") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val noDocs = Seq.empty[Long].toDF("doc_id")
+    assert(Dedup.duplicateClusters(noPairs, noDocs).count() === 0L)
+    // empty pairs over a non-empty corpus: every doc is its own cluster
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val singleton = Dedup.duplicateClusters(noPairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(singleton === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("duplicate clusters: path graph converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // adversarial worst case for label propagation: one 2000-link chain
+    // (diameter 2000). Plain neighbor-min needs ~2000 rounds; pointer
+    // jumping halves the distance to the minimum every round, so 20
+    // rounds (≈ log2(2000) + slack) must suffice — WITHOUT raising the
+    // default maxRounds=50.
+    val n = 2000L
+    val chain = spark.range(n).select(col("id").as("doc_a"),
+      (col("id") + 1).as("doc_b"))
+    val docs = spark.range(n + 1).select(col("id").as("doc_id"))
+    val clusters = Dedup.duplicateClusters(chain.toDF(), docs.toDF(),
+      maxRounds = 20)
+    val byCluster = clusters.groupBy("cluster_id").count().collect()
+    assert(byCluster.length === 1, "a chain is ONE component")
+    assert(byCluster.head.getLong(0) === 0L, "cluster id = min node id")
+    assert(byCluster.head.getLong(1) === n + 1)
+    // two chains + isolated nodes keep distinct labels
+    val twoChains = chain.where(col("doc_a") =!= lit(999L)) // cut at 999-1000
+    val c2 = Dedup.duplicateClusters(twoChains.toDF(), docs.toDF(),
+      maxRounds = 20)
+      .groupBy("cluster_id").count().orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(c2 === Seq((0L, 1000L), (1000L, 1001L)))
   }
 
   test("int8 quantization: range, saturation at the max, bounded dequant error") {
@@ -241,9 +286,14 @@ class LlmOperatorsSpec extends SparkSpec {
     // batch shape: every row decoded within a batch of <= 16
     assert(feats.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 16))
     assert(feats.exists(_.getInt(2) > 1))
-    // deterministic stub: features(0) = byte length
-    val one = feats.head
-    assert(one.getSeq[Float](1).head > 0)
+    // the FULL 4-float vector (incl. f_mix, which the registry's oracled
+    // projection deliberately omits) matches the stub applied locally
+    val payloads = media.select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    feats.foreach { r =>
+      assert(r.getSeq[Float](1).toSeq ===
+        Multimodal.decodeBytesStub(payloads(r.getLong(0))).toSeq)
+    }
   }
 
   test("decode stub is deterministic") {

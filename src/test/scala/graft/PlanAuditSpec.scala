@@ -54,6 +54,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size == 2, s"${exchanges.size} exchanges:\n${plan.take(1200)}")
   }
 
+  test("q_bucketed_join: no exchange on the bucket key — join + agg co-located") {
+    val plan = executed("q_bucketed_join")
+    // the scan must actually use the buckets…
+    assert(plan.contains("Bucketed: true"), plan.take(1500))
+    // …and neither the join nor the (o_custkey, c_name) aggregation may
+    // re-shuffle on the key the tables are bucketed by; only the output
+    // ORDER BY's range exchange is allowed
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+      "bucket key re-shuffled:\n" + plan.take(1500))
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size == 1, s"${exchanges.size} exchanges:\n${plan.take(2000)}")
+  }
+
   test("q_dedup_simhash_pairs: candidates from an equi-join on the chunk key") {
     val plan = executed("q_dedup_simhash_pairs")
     assert(plan.contains("chunk_val"), plan.take(1200))
