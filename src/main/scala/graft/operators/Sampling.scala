@@ -12,13 +12,40 @@ import org.apache.spark.sql.functions._
   * is never stable across runs, that makes experiments unreproducible.
   *
   * [[stratifiedByHash]] instead keeps a row iff
-  * `pmod(hash(idCol, seed), granularity) < fraction(stratum) ·
-  * granularity` — membership is a pure function of the row's id, so the
-  * sample is identical under any partitioning, file layout, or engine
-  * version that preserves the hash. Per-stratum rates converge to the
-  * target like any Bernoulli design (hash bits ≈ uniform).
+  * `portableBucket(idCol, seed) < fraction(stratum) · granularity` —
+  * membership is a pure function of the row's id, so the sample is
+  * identical under any partitioning, file layout, or engine. The hash is
+  * deliberately PORTABLE arithmetic (Lehmer multiplicative step mod the
+  * Mersenne prime 2^31−1, then an xor-shift fold — plain `*`, `%`, `^`,
+  * `>>` on 64-bit ints, never overflowing), not Spark's murmur3: any
+  * engine can reproduce it in SQL, which is what lets the driver's
+  * DuckDB oracle verify the sample row-for-row.
   */
 object Sampling {
+
+  private val P = 2147483647L // 2^31 − 1 (Mersenne prime)
+
+  /** Portable per-id bucket in [0, granularity): Lehmer step + xor fold.
+    * Expressible verbatim in any SQL engine (64-bit intermediate values
+    * only; all non-negative for non-negative ids — callers with signed
+    * ids should pre-fold them to non-negative). */
+  def portableBucket(idCol: Column, seed: Int,
+                     granularity: Int = 10000): Column = {
+    val x = pmod(idCol + lit(seed.toLong * 1103515245L), lit(P))
+    val h = pmod(x * lit(48271L), lit(P))
+    pmod(h.bitwiseXOR(shiftright(h, 16)), lit(granularity.toLong))
+  }
+
+  /** The oracle-side spelling of [[portableBucket]] (DuckDB/ANSI-ish SQL
+    * over BIGINT; `idExpr` must be non-negative). Kept adjacent to the
+    * Spark form so the two formulas can never drift apart silently. */
+  def portableBucketSql(idExpr: String, seed: Int,
+                        granularity: Int = 10000): String = {
+    val p = P
+    val shifted = s"(($idExpr + ${seed.toLong * 1103515245L}) % $p)"
+    val h = s"(($shifted * 48271) % $p)"
+    s"(xor($h, $h >> 16) % $granularity)"
+  }
 
   /** Layout-independent stratified Bernoulli sample. `fraction` is a
     * per-row sampling-rate expression in [0, 1] (typically a `when`
@@ -27,7 +54,7 @@ object Sampling {
   def stratifiedByHash(df: DataFrame, fraction: Column,
                        idCol: String = "doc_id", seed: Int = 42,
                        granularity: Int = 10000): DataFrame =
-    df.where(pmod(hash(col(idCol), lit(seed)), lit(granularity)) <
+    df.where(portableBucket(col(idCol), seed, granularity) <
       coalesce(fraction, lit(0.0)) * granularity)
 
   /** Map-of-strata convenience overload (sampleBy's signature shape):

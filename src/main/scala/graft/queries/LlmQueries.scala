@@ -150,22 +150,45 @@ object LlmQueries {
     // subsampling step of a corpus pipeline. Membership is a pure
     // function of (doc_id, seed) — NOT sampleBy's rand(seed), whose
     // draw order depends on physical partition layout — so the sample
-    // is reproducible under any file split or repartition. Spark's
-    // murmur3 hash is engine-specific, so rows-only; determinism +
-    // per-stratum rates are asserted in LlmOperatorsSpec.
+    // is reproducible under any file split, repartition, or ENGINE: the
+    // portable Lehmer+xor-fold hash (Sampling.portableBucket) is plain
+    // 64-bit arithmetic, so the DuckDB oracle reproduces the sample
+    // row-for-row. Rates + layout-independence in LlmOperatorsSpec.
     Q("q_sample_stratified",
       (s, dir) => graft.operators.Sampling.stratifiedByHash(
           documents(s, dir),
           when(col("lang") <= "en", 0.5).otherwise(0.2))
         .select("doc_id", "lang").orderBy("doc_id"),
-      None),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE ${graft.operators.Sampling.portableBucketSql("doc_id", 42)}
+              |  < (CASE WHEN lang <= 'en' THEN 0.5 ELSE 0.2 END) * 10000
+              |ORDER BY doc_id""".stripMargin)),
 
+    // 64-bit polynomial fingerprint, oracled: DuckDB reproduces the
+    // wrapping-Long fold with HUGEINT arithmetic mod 2^64 over the
+    // UTF-16 code units (== codepoints for this BMP corpus), then
+    // re-signs into BIGINT range.
     Q("q_text_fingerprint_rolling",
       (s, dir) => documents(s, dir)
         .select(col("doc_id"),
           TextAnalysis.rollingHash64(col("text")).as("fingerprint64"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH f AS (SELECT doc_id,
+             |    CASE WHEN text IS NULL THEN CAST(0 AS HUGEINT) ELSE
+             |    list_reduce(
+             |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+             |        list_transform(
+             |          regexp_extract_all(
+             |            lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))),
+             |            '(?s).'),
+             |          c -> CAST(unicode(c) AS HUGEINT))),
+             |      (h, c) -> (h * 1000003 + c) % 18446744073709551616)
+             |    END AS u
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+             |            ELSE u END AS BIGINT) AS fingerprint64
+             |FROM f ORDER BY doc_id""".stripMargin)),
 
     // ----- dedup ----------------------------------------------------------
 
@@ -233,14 +256,88 @@ object LlmQueries {
         bands = 8, rows = 8).orderBy("doc_a", "doc_b"),
       None),
 
+    // SimHash signatures, oracled: tokenHash is Java String.hashCode
+    // (32-bit wrapping fold) xor'd/scrambled by fmix64 — every step is
+    // plain modular arithmetic, so DuckDB reproduces the EXACT 64-bit
+    // signature with HUGEINT mod-2^64 math (64×64-bit multiplies split
+    // into 32-bit halves to stay inside INT128), then takes the same
+    // per-bit majority votes. Verified bit-exact across engines.
     Q("q_dedup_simhash",
       (s, dir) => Dedup.simhashSignatures(documents(s, dir)).orderBy("doc_id"),
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+             |  FROM documents),
+             |hc AS (
+             |  SELECT doc_id, t,
+             |    list_reduce(
+             |      list_prepend(CAST(0 AS HUGEINT),
+             |        list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+             |      (h, c) -> (h * 31 + c) % 4294967296) AS u32
+             |  FROM toks),
+             |u64 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN u32 >= 2147483648 THEN u32 + 18446744073709551616 - 4294967296 ELSE u32 END AS uh
+             |  FROM hc),
+             |fm2 AS (SELECT doc_id, xor(xor(uh, CAST(11400714819323198485 AS HUGEINT)), xor(uh, CAST(11400714819323198485 AS HUGEINT)) >> 33) AS h2 FROM u64),
+             |fm3 AS (SELECT doc_id, (((((h2 % 4294967296) * 4283543511 + (h2 >> 32) * 3981806797) % 4294967296) * 4294967296 + (h2 % 4294967296) * 3981806797) % 18446744073709551616) AS h3 FROM fm2),
+             |fm4 AS (SELECT doc_id, xor(h3, h3 >> 33) AS h4 FROM fm3),
+             |fm5 AS (SELECT doc_id, (((((h4 % 4294967296) * 3301882366 + (h4 >> 32) * 444984403) % 4294967296) * 4294967296 + (h4 % 4294967296) * 444984403) % 18446744073709551616) AS h5 FROM fm4),
+             |th AS (SELECT doc_id, xor(h5, h5 >> 33) AS h FROM fm5),
+             |bits AS (
+             |  SELECT doc_id, b,
+             |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM th, range(64) r(b) GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id,
+             |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS u
+             |  FROM bits GROUP BY doc_id)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash,
+             |  CAST(u >> 48 AS INT) AS bucket
+             |FROM sig ORDER BY doc_id""".stripMargin)),
 
+    // Pairs oracle: DuckDB reproduces the bit-exact signatures (same
+    // CTE chain as q_dedup_simhash) and then brute-forces hamming <= 3
+    // over all pairs — an INDEPENDENT formulation that also proves the
+    // Spark side's pigeonhole chunk blocking loses no pair.
     Q("q_dedup_simhash_pairs",
       (s, dir) => Dedup.simhashNearDupPairs(documents(s, dir), 3)
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+             |  FROM documents),
+             |hc AS (
+             |  SELECT doc_id, t,
+             |    list_reduce(
+             |      list_prepend(CAST(0 AS HUGEINT),
+             |        list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+             |      (h, c) -> (h * 31 + c) % 4294967296) AS u32
+             |  FROM toks),
+             |u64 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN u32 >= 2147483648 THEN u32 + 18446744073709551616 - 4294967296 ELSE u32 END AS uh
+             |  FROM hc),
+             |fm2 AS (SELECT doc_id, xor(xor(uh, CAST(11400714819323198485 AS HUGEINT)), xor(uh, CAST(11400714819323198485 AS HUGEINT)) >> 33) AS h2 FROM u64),
+             |fm3 AS (SELECT doc_id, (((((h2 % 4294967296) * 4283543511 + (h2 >> 32) * 3981806797) % 4294967296) * 4294967296 + (h2 % 4294967296) * 3981806797) % 18446744073709551616) AS h3 FROM fm2),
+             |fm4 AS (SELECT doc_id, xor(h3, h3 >> 33) AS h4 FROM fm3),
+             |fm5 AS (SELECT doc_id, (((((h4 % 4294967296) * 3301882366 + (h4 >> 32) * 444984403) % 4294967296) * 4294967296 + (h4 % 4294967296) * 444984403) % 18446744073709551616) AS h5 FROM fm4),
+             |th AS (SELECT doc_id, xor(h5, h5 >> 33) AS h FROM fm5),
+             |bits AS (
+             |  SELECT doc_id, b,
+             |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM th, range(64) r(b) GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id,
+             |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS u
+             |  FROM bits GROUP BY doc_id),
+             |s2 AS (SELECT doc_id,
+             |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
+             |FROM sig)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+             |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ----- similarity search ----------------------------------------------
 

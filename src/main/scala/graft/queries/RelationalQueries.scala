@@ -328,15 +328,20 @@ object RelationalQueries {
     Q("q_x2_fuzzy_scoped",
       (s, dir) => {
         val t = 0.65
+        // the ±1 neighbor replication goes on the SMALL (query) side:
+        // replicating the corpus side would triple it AND wreck its size
+        // statistics (explode defeats the estimator), silently demoting
+        // the join from broadcast to sort-merge at test scale. The
+        // candidate pair set is identical either way.
+        val bkt = graft.operators.Dedup.sizeBucket(col("la"), t)
         val sup = supplier(s, dir).select(col("s_suppkey"), col("s_name"),
           col("s_nationkey").as("nk"))
           .withColumn("la", length(col("s_name")))
-          .withColumn("len_bucket", graft.operators.Dedup.sizeBucket(col("la"), t))
-        val bkt = graft.operators.Dedup.sizeBucket(col("lb"), t)
+          .withColumn("len_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
         val cus = customer(s, dir).select(col("c_custkey"), col("c_name"),
           col("c_nationkey").as("nk"))
           .withColumn("lb", length(col("c_name")))
-          .withColumn("len_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
+          .withColumn("len_bucket", graft.operators.Dedup.sizeBucket(col("lb"), t))
         // best-match via min_by, not a sort window: the argmin hash
         // aggregate gets map-side partial aggregation, so the candidate
         // explosion combines before the shuffle instead of fully
