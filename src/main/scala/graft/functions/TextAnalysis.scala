@@ -19,6 +19,13 @@ object TextAnalysis {
   /** Distinct word set (for set-similarity ops). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** [[tokenSet]] sorted in UTF8 binary order — the input contract of
+    * the allocation-free two-pointer intersection
+    * ([[graft.plans.SortedIntersectSize]]). Sorting costs n·log n ONCE
+    * per document and is amortized over the many candidate pairs each
+    * document appears in. */
+  def sortedTokenSet(text: Column): Column = array_sort(tokenSet(text))
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Characters removed when stripping punctuation = punctuation count. */

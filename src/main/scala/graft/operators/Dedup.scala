@@ -62,8 +62,12 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    salts: Int = 1): DataFrame = {
+    // sorted token sets: the exact-verify intersection below runs as an
+    // allocation-free two-pointer merge (native codegen'd expression)
+    // instead of a per-pair hash set — the verify stage dominates this
+    // operator's cost, the sort amortizes across a document's pairs
     val toks = docs.select(col("doc_id"), col("lang"),
-      TextAnalysis.tokenSet(col("text")).as("toks"))
+      TextAnalysis.sortedTokenSet(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")))
     val a = toks.select(col("doc_id").as("doc_a"), col("lang"),
       col("toks").as("toks_a"), col("n_toks").as("na"))
@@ -74,7 +78,8 @@ object Dedup {
       col("toks").as("toks_b"), col("n_toks").as("nb"))
       .withColumn("size_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
       .withColumn("salt", explode(lit((0 until salts).toArray)))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val inter = graft.plans.SortedIntersectSize
+      .intersectSizeCol(docs.sparkSession, col("toks_a"), col("toks_b"))
     a.join(b, Seq("lang", "size_bucket", "salt")).drop("salt", "size_bucket")
       .where(col("doc_a") < col("doc_b") &&
         col("na") >= col("nb") * threshold &&
@@ -208,8 +213,11 @@ object Dedup {
         bd.toLong << 56 | (h & 0xffffffffffffL)
       }
     }
+    // sorted sets: signature minima are order-independent, and the
+    // exact-verify intersection below runs as the native two-pointer
+    // merge instead of a per-pair hash set
     val tk = docs.select(col("doc_id"),
-      TextAnalysis.tokenSet(col("text")).as("toks"))
+      TextAnalysis.sortedTokenSet(col("text")).as("toks"))
     val sigs = tk.withColumn("sig", sigUdf(col("toks")))
 
     val buckets = sigs
@@ -236,9 +244,11 @@ object Dedup {
     // the few-MB sig/token tables itself.
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val estMatches = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-      lit(0), (acc, x) => acc + x)
+    // native codegen'd positional-match count: the zip_with/aggregate
+    // HOF form is CodegenFallback (interpreted lambda + an intermediate
+    // array per pair), and this gate runs on EVERY band candidate
+    val estMatches = graft.plans.CountEqual
+      .countEqualCol(docs.sparkSession, col("sig_a"), col("sig_b"))
     val survivors = cand
       .join(sa, "doc_a")
       .join(sb, "doc_b")
@@ -248,7 +258,8 @@ object Dedup {
     // two passes skip the numPerm-permutation UDF entirely
     val ta = tk.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val tb = tk.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val inter = graft.plans.SortedIntersectSize
+      .intersectSizeCol(docs.sparkSession, col("toks_a"), col("toks_b"))
     survivors
       .join(ta, "doc_a")
       .join(tb, "doc_b")

@@ -22,5 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       DotProduct.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "graft_sorted_intersect_size"),
+      SortedIntersectSize.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_equal"),
+      new ExpressionInfo(classOf[CountEqual].getName, "graft_count_equal"),
+      CountEqual.builder))
   }
 }

@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Native codegen'd intersection COUNT of two SORTED, DISTINCT
+  * `array<string>` columns.
+  *
+  * `size(array_intersect(a, b))` builds a hash set of one side per row —
+  * per-pair allocation plus string hashing — and that verify step is the
+  * dominant cost of the exact-Jaccard stage in
+  * [[graft.operators.Dedup.jaccardPairs]]/`minhashLshPairs`, which runs
+  * it on millions of candidate pairs while each document's token array is
+  * reused across many pairs. Pre-sorting each array ONCE per document
+  * (amortized) turns the per-pair step into an allocation-free two-pointer
+  * merge over binary string comparisons, inside whole-stage codegen.
+  *
+  * Inputs MUST be sorted ascending in UTF8 binary order with no
+  * duplicates (`array_sort(array_distinct(...))` produces exactly this);
+  * then the count equals `size(array_intersect(a, b))` exactly. Null
+  * array → NULL; null ELEMENTS are not expected (array_sort places them
+  * last; a null element makes the comparison undefined, mirroring
+  * array_intersect's null-dropping only for non-null inputs).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_intersect_size expects (array<string>, array<string>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSize {
+
+  private val fnId = FunctionIdentifier("graft_sorted_intersect_size")
+  private val info = new ExpressionInfo(
+    classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size")
+  private[plans] val builder = (children: Seq[Expression]) => {
+    require(children.size == 2,
+      s"graft_sorted_intersect_size requires exactly 2 arguments, got ${children.size}")
+    SortedIntersectSize(children(0), children(1))
+  }
+
+  /** Idempotent per-session registration (for sessions not built with
+    * [[GraftExtensions]]). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(fnId)) reg.registerFunction(fnId, info, builder)
+  }
+
+  /** Column-API entry: `intersectSizeCol(a, b)` ≡ SQL
+    * `graft_sorted_intersect_size(a, b)`. */
+  def intersectSizeCol(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_sorted_intersect_size", a, b)
+  }
+}
