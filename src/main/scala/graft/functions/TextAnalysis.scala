@@ -75,6 +75,42 @@ object TextAnalysis {
     * text. Exact-duplicate groups share a fingerprint. */
   def md5Fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** Top-k TF-IDF terms per document — the salient-term extraction step
+    * of corpus indexing/quality pipelines.
+    *
+    * Score = (tf / len) · N / df — the raw rarity-weighted frequency
+    * rather than a log-IDF, deliberately: `ln` is a libm call whose last
+    * ulp differs across engines, while this form is a fixed-order chain
+    * of IEEE divisions/multiplications over exact integers, so an
+    * independent engine reproduces every score bit-for-bit (the same
+    * monotone ranking as N/df-based IDF for per-document top-k).
+    *
+    * Scale shape: tf is one (doc_id, word) shuffle with map-side
+    * combine; df is a vocab-sized aggregate; the df join is word-keyed
+    * (sort-merge at corpus scale); N arrives as a broadcast 1-row
+    * crossJoin, never a driver-side collect; top-k is a bounded window
+    * per doc_id. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val len = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val dfreq = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") / col("len") *
+      col("n_docs") / col("df")
+    tf.join(len, "doc_id").join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("word"), col("score"),
+        col("rn").cast("long").as("rn"))
+  }
+
   /** 64-bit polynomial rolling hash of the normalized text (base 1000003,
     * wrapping Long arithmetic — deterministic across JVMs). A cheap
     * order-sensitive fingerprint, unlike the order-insensitive word-set

@@ -216,6 +216,33 @@ object Similarity {
         .as("qvec"))
   }
 
+  /** Per-label centroids — the distributed mean-vector step of k-means /
+    * IVF training and of class-prototype computation, shaped for corpus
+    * scale: posexplode to (label, pos, v) and aggregate per (label, pos)
+    * with map-side partial aggregation — one shuffle whose key
+    * cardinality is labels × dims, never a per-group collect.
+    *
+    * Exact cross-engine determinism: a double SUM is accumulation-order-
+    * dependent, so each component is integerized FIRST with
+    * `floor(v·1e8 + 0.5)` (both engines evaluate this identically on
+    * doubles — the quantizeInt8 parity trick), summed exactly as
+    * DECIMAL(38,0), and the mean is reconstructed with a fixed
+    * division order. Returns (label, pos, centroid, n_vecs) — scalar
+    * rows, not an array column, so any engine can sort/hash the output.
+    */
+  def centroidsByLabel(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    emb.select(col("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("v") * lit(1e8) + lit(0.5))
+          .cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("pos"),
+        (col("s").cast("double") / col("n_vecs") / lit(1e8)).as("centroid"),
+        col("n_vecs"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), blocked on
     * equal `label` — the deterministic blocking key that keeps this off
     * the full cross product (the LSH buckets of [[annTopK]] serve the

@@ -101,6 +101,51 @@ object LlmQueries {
              |    AS BIGINT) AS max_bpe_tokens
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // TF-IDF salient-term extraction: score = (tf/len)·N/df — no log-IDF
+    // because ln's last ulp is libm-dependent, while this fixed-order
+    // IEEE chain over exact integers is bit-reproducible in any engine
+    // (same per-document ranking). One (doc_id, word) shuffle + a
+    // vocab-sized df join + a bounded top-k window per doc.
+    Q("q_text_tfidf",
+      (s, dir) => TextAnalysis.tfidfTopTerms(documents(s, dir), 3)
+        .orderBy("doc_id", "rn"),
+      Some("""WITH w AS (SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+             |len AS (SELECT doc_id, COUNT(*) AS len FROM w GROUP BY 1),
+             |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT doc_id, word, score, rn FROM (
+             |  SELECT tf.doc_id, tf.word,
+             |    CAST(tf.tf AS DOUBLE) / len.len * n.n_docs / df.df AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY CAST(tf.tf AS DOUBLE) / len.len * n.n_docs / df.df DESC,
+             |        tf.word) AS rn
+             |  FROM tf JOIN len ON tf.doc_id = len.doc_id
+             |    JOIN df ON tf.word = df.word CROSS JOIN n)
+             |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    // Per-label embedding centroids (the k-means/IVF training step and
+    // class-prototype computation) — posexplode + (label, pos) decimal
+    // aggregation, one shuffle, no per-group collect. Components are
+    // integerized with floor(v·1e8 + 0.5) before the sum (the
+    // quantizeInt8 parity trick) so the order-dependent double SUM
+    // becomes an exact integer sum and DuckDB reproduces every centroid
+    // bit-for-bit.
+    Q("q_embed_centroids",
+      (s, dir) => graft.operators.Similarity
+        .centroidsByLabel(embeddings(s, dir))
+        .orderBy("label", "pos"),
+      Some("""WITH e AS (SELECT label, unnest(embedding) AS v,
+             |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+             |  FROM embeddings)
+             |SELECT label, pos,
+             |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 100000000.0 + 0.5) AS HUGEINT))
+             |      AS DOUBLE) / COUNT(*) / 100000000.0 AS centroid,
+             |  COUNT(*) AS n_vecs
+             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Sequence packing: fixed token-budget packs per lang (the
     // dedup→pack step of a training-data pipeline). Runs the SHARDED
     // formulation — composite (lang, shard) window key + broadcast
