@@ -37,8 +37,12 @@ object ProbeStages {
       println(s"--- round $round ---")
       // tokenization + signatures only
       val tk = docs.select(col("doc_id"),
-        TextAnalysis.tokenSet(col("text")).as("toks"))
+        TextAnalysis.sortedTokenSet(col("text")).as("toks"))
       time("tokenSet count")(tk.select(sum(size(col("toks")))).collect())
+      val sigUdf = udf { (toks: Seq[String]) =>
+        Dedup.minhashSignature(toks, 64) }
+      time("signatures")(tk.select(sigUdf(col("toks")).as("sig"))
+        .select(sum(size(col("sig")))).collect())
 
       time("minhash FULL")(
         Dedup.minhashLshPairs(docs, 0.9, bands = 8, rows = 8).count())

@@ -67,6 +67,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size == 1, s"${exchanges.size} exchanges:\n${plan.take(2000)}")
   }
 
+  test("q_embed_centroids: one aggregation exchange, no per-group collect") {
+    val plan = executed("q_embed_centroids")
+    // posexplode → partial agg → ONE (label, pos) exchange → final agg;
+    // plus the output ORDER BY's range exchange. A collect_list-based
+    // centroid would show objHashAggregate/CollectList here.
+    assert(!plan.contains("collect_list") && !plan.contains("CollectList"),
+      plan.take(1200))
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size == 2, s"${exchanges.size} exchanges:\n${plan.take(1500)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1200))
+  }
+
   test("q_dedup_simhash_pairs: candidates from an equi-join on the chunk key") {
     val plan = executed("q_dedup_simhash_pairs")
     assert(plan.contains("chunk_val"), plan.take(1200))
