@@ -67,9 +67,13 @@ object Bench {
     // the JSON line) and persist the complete JSON to a file as the
     // canonical record.
     println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson}""")
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
+    // best-effort file copy AFTER both stdout lines: a read-only cwd
+    // must not cost the per-query record
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] bench_last.json not written: $e") }
     spark.stop()
   }
 }

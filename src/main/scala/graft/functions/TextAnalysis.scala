@@ -115,14 +115,32 @@ object TextAnalysis {
     * wrapping Long arithmetic — deterministic across JVMs). A cheap
     * order-sensitive fingerprint, unlike the order-insensitive word-set
     * signatures. UDF (loop-shaped), but O(len) per row and shuffle-free.
+    *
+    * Normalization is deliberately ENGINE-NEUTRAL so the DuckDB oracle
+    * can reproduce the hash on any input, not just this corpus: strip
+    * exactly {space, \t, \n, \r} at the ends (Java `trim` strips ALL
+    * chars ≤ U+0020 —  etc. would diverge) and lowercase ASCII
+    * A–Z only (`String.toLowerCase` is locale/Unicode-table dependent;
+    * DuckDB's `lower` uses utf8proc — `translate` of the 26 letters is
+    * identical everywhere). Hash runs over UTF-16 code units (==
+    * codepoints for BMP text).
     */
   val rollingHash64 = udf { (text: String) =>
     if (text == null) 0L
     else {
-      val s = text.trim.toLowerCase
+      def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      var from = 0
+      var to = text.length
+      while (from < to && ws(text.charAt(from))) from += 1
+      while (to > from && ws(text.charAt(to - 1))) to -= 1
       var h = 1125899906842597L
-      var i = 0
-      while (i < s.length) { h = h * 1000003L + s.charAt(i); i += 1 }
+      var i = from
+      while (i < to) {
+        val c0 = text.charAt(i)
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        h = h * 1000003L + c
+        i += 1
+      }
       h
     }
   }

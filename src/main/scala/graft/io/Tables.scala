@@ -234,9 +234,22 @@ object Tables {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int = 32): Unit = {
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table))
-      clearOrphanTableLocation(spark, new Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase))
+    if (!spark.catalog.tableExists(table)) {
+      // resolve the MANAGED location the way the catalog will: the
+      // (qualified or current) database's location + table name — a
+      // warehouse-root guess breaks for `db.tbl` or a non-default
+      // current database and the orphan would survive to fail the write
+      val (db, tbl) = table.split('.') match {
+        case Array(t) => (spark.catalog.currentDatabase, t)
+        case Array(d, t) => (d, t)
+        case _ => throw new IllegalArgumentException(
+          s"writeBucketed: unsupported table identifier '$table'")
+      }
+      if (spark.catalog.databaseExists(db))
+        clearOrphanTableLocation(spark,
+          new Path(new Path(spark.catalog.getDatabase(db).locationUri),
+            tbl.toLowerCase))
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)

@@ -70,8 +70,19 @@ object Packing {
     * cum_before is maximal at the shard's last document). The offset
     * table has one row per occupied (partitionCol, shard) — corpus /
     * shardWidth rows, not corpus rows — and is joined back with an
-    * explicit `broadcast` since that dimension-sized join is
-    * load-bearing for the no-second-shuffle design.
+    * explicit `broadcast` since that join is load-bearing for the
+    * no-second-shuffle design.
+    *
+    * CONTRACT on `shardWidth`: offsets size is corpus/shardWidth, so
+    * shardWidth must scale with the corpus — pick it so the offset
+    * table stays broadcast-sized (e.g. 10⁵–10⁶ docs/shard keeps offsets
+    * ≤ 10⁶ rows even at 10¹¹ docs) while still giving far more shards
+    * than cores. The default 100 suits the test corpus only. With a
+    * too-small shardWidth the explicit broadcast (which bypasses
+    * autoBroadcastJoinThreshold) would collect a corpus-proportional
+    * table to the driver, and the per-partitionCol prefix-sum window
+    * over offsets would serialize the same row count through ~#langs
+    * tasks — both defeated by sizing shardWidth correctly.
     *
     * Returns the same schema as [[assignPacks]]:
     * (doc_id, partitionCol, n_tokens, pack_id).

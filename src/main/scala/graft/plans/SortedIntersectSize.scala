@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions.call_function
   *
   * Inputs MUST be sorted ascending in UTF8 binary order with no
   * duplicates (`array_sort(array_distinct(...))` produces exactly this);
-  * then the count equals `size(array_intersect(a, b))` exactly. Null
-  * array → NULL; null ELEMENTS are not expected (array_sort places them
-  * last; a null element makes the comparison undefined, mirroring
-  * array_intersect's null-dropping only for non-null inputs).
+  * then the count equals `size(array_intersect(a, b))` exactly for
+  * null-free arrays. Null array → NULL. Null ELEMENTS end the scan
+  * (array_sort places them last, so a null marks the end of the sorted
+  * prefix): nulls are never counted as matching — the one deliberate
+  * deviation from array_intersect, which treats null∩null as a member.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,7 +52,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
-    while (i < nx && j < ny) {
+    while (i < nx && j < ny && !x.isNullAt(i) && !y.isNullAt(j)) {
       val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
@@ -72,7 +73,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
-         |while ($i < $nx && $j < $ny) {
+         |while ($i < $nx && $j < $ny && !$a.isNullAt($i) && !$b.isNullAt($j)) {
          |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }

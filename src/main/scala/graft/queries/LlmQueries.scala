@@ -10,12 +10,14 @@ import Tables._
   * `documents` and `embeddings` tables.
   *
   * Oracle policy: everything an independent SQL engine can reproduce gets
-  * a DuckDB oracle (exact dedup, token/quality stats, language-ID,
-  * blocked Jaccard pairs, exact cosine top-k, multimodal metadata). The
-  * hash-seeded approximate operators (MinHash-LSH, SimHash, hyperplane
-  * ANN, rolling fingerprint) have no independent reproduction — they are
-  * registered rows-only and verified against their exact counterparts in
-  * ScalaTest (recall bounds).
+  * a DuckDB oracle — including the "hash-seeded" operators whose hashes
+  * are pure wrapping arithmetic (SimHash signatures/pairs, the rolling
+  * fingerprint, the portable stratified sample), reproduced in SQL with
+  * HUGEINT mod-2^64 math. Only genuinely engine-specific output stays
+  * rows-only (MinHash-LSH and hyperplane/IVF ANN, whose banding/bucket
+  * geometry has no SQL reproduction, and sketch-based approximates) —
+  * those are verified against their exact counterparts in ScalaTest
+  * (recall bounds).
   */
 object LlmQueries {
 
@@ -24,6 +26,42 @@ object LlmQueries {
       |     WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
       |     WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
       |     WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END""".stripMargin
+
+  /** Shared CTE chain reproducing [[Dedup.simhash64]] bit-exact in
+    * DuckDB: Java String.hashCode (32-bit wrapping fold over code units)
+    * sign-extended to unsigned 64, fmix64 (the two 64×64-bit multiplies
+    * split into 32-bit halves to stay inside INT128), then per-bit
+    * majority votes. ONE definition interpolated into BOTH simhash
+    * oracles so the arithmetic can never drift between them. Ends with
+    * `sig(doc_id, u)` — u = the unsigned 64-bit signature. */
+  private val simhashSigCte =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+      |  FROM documents),
+      |hc AS (
+      |  SELECT doc_id, t,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+      |      (h, c) -> (h * 31 + c) % 4294967296) AS u32
+      |  FROM toks),
+      |u64 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN u32 >= 2147483648 THEN u32 + 18446744073709551616 - 4294967296 ELSE u32 END AS uh
+      |  FROM hc),
+      |fm2 AS (SELECT doc_id, xor(xor(uh, CAST(11400714819323198485 AS HUGEINT)), xor(uh, CAST(11400714819323198485 AS HUGEINT)) >> 33) AS h2 FROM u64),
+      |fm3 AS (SELECT doc_id, (((((h2 % 4294967296) * 4283543511 + (h2 >> 32) * 3981806797) % 4294967296) * 4294967296 + (h2 % 4294967296) * 3981806797) % 18446744073709551616) AS h3 FROM fm2),
+      |fm4 AS (SELECT doc_id, xor(h3, h3 >> 33) AS h4 FROM fm3),
+      |fm5 AS (SELECT doc_id, (((((h4 % 4294967296) * 3301882366 + (h4 >> 32) * 444984403) % 4294967296) * 4294967296 + (h4 % 4294967296) * 444984403) % 18446744073709551616) AS h5 FROM fm4),
+      |th AS (SELECT doc_id, xor(h5, h5 >> 33) AS h FROM fm5),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, range(64) r(b) GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS u
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -224,7 +262,8 @@ object LlmQueries {
              |      list_prepend(CAST(1125899906842597 AS HUGEINT),
              |        list_transform(
              |          regexp_extract_all(
-             |            lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))),
+             |            translate(trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+             |              'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
              |            '(?s).'),
              |          c -> CAST(unicode(c) AS HUGEINT))),
              |      (h, c) -> (h * 1000003 + c) % 18446744073709551616)
@@ -309,37 +348,11 @@ object LlmQueries {
     // per-bit majority votes. Verified bit-exact across engines.
     Q("q_dedup_simhash",
       (s, dir) => Dedup.simhashSignatures(documents(s, dir)).orderBy("doc_id"),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
-             |  FROM documents),
-             |hc AS (
-             |  SELECT doc_id, t,
-             |    list_reduce(
-             |      list_prepend(CAST(0 AS HUGEINT),
-             |        list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
-             |      (h, c) -> (h * 31 + c) % 4294967296) AS u32
-             |  FROM toks),
-             |u64 AS (
-             |  SELECT doc_id,
-             |    CASE WHEN u32 >= 2147483648 THEN u32 + 18446744073709551616 - 4294967296 ELSE u32 END AS uh
-             |  FROM hc),
-             |fm2 AS (SELECT doc_id, xor(xor(uh, CAST(11400714819323198485 AS HUGEINT)), xor(uh, CAST(11400714819323198485 AS HUGEINT)) >> 33) AS h2 FROM u64),
-             |fm3 AS (SELECT doc_id, (((((h2 % 4294967296) * 4283543511 + (h2 >> 32) * 3981806797) % 4294967296) * 4294967296 + (h2 % 4294967296) * 3981806797) % 18446744073709551616) AS h3 FROM fm2),
-             |fm4 AS (SELECT doc_id, xor(h3, h3 >> 33) AS h4 FROM fm3),
-             |fm5 AS (SELECT doc_id, (((((h4 % 4294967296) * 3301882366 + (h4 >> 32) * 444984403) % 4294967296) * 4294967296 + (h4 % 4294967296) * 444984403) % 18446744073709551616) AS h5 FROM fm4),
-             |th AS (SELECT doc_id, xor(h5, h5 >> 33) AS h FROM fm5),
-             |bits AS (
-             |  SELECT doc_id, b,
-             |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
-             |  FROM th, range(64) r(b) GROUP BY doc_id, b),
-             |sig AS (
-             |  SELECT doc_id,
-             |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS u
-             |  FROM bits GROUP BY doc_id)
-             |SELECT doc_id,
-             |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash,
-             |  CAST(u >> 48 AS INT) AS bucket
-             |FROM sig ORDER BY doc_id""".stripMargin)),
+      Some(s"""$simhashSigCte
+              |SELECT doc_id,
+              |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash,
+              |  CAST(u >> 48 AS INT) AS bucket
+              |FROM sig ORDER BY doc_id""".stripMargin)),
 
     // Pairs oracle: DuckDB reproduces the bit-exact signatures (same
     // CTE chain as q_dedup_simhash) and then brute-forces hamming <= 3
@@ -348,41 +361,15 @@ object LlmQueries {
     Q("q_dedup_simhash_pairs",
       (s, dir) => Dedup.simhashNearDupPairs(documents(s, dir), 3)
         .orderBy("doc_a", "doc_b"),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
-             |  FROM documents),
-             |hc AS (
-             |  SELECT doc_id, t,
-             |    list_reduce(
-             |      list_prepend(CAST(0 AS HUGEINT),
-             |        list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
-             |      (h, c) -> (h * 31 + c) % 4294967296) AS u32
-             |  FROM toks),
-             |u64 AS (
-             |  SELECT doc_id,
-             |    CASE WHEN u32 >= 2147483648 THEN u32 + 18446744073709551616 - 4294967296 ELSE u32 END AS uh
-             |  FROM hc),
-             |fm2 AS (SELECT doc_id, xor(xor(uh, CAST(11400714819323198485 AS HUGEINT)), xor(uh, CAST(11400714819323198485 AS HUGEINT)) >> 33) AS h2 FROM u64),
-             |fm3 AS (SELECT doc_id, (((((h2 % 4294967296) * 4283543511 + (h2 >> 32) * 3981806797) % 4294967296) * 4294967296 + (h2 % 4294967296) * 3981806797) % 18446744073709551616) AS h3 FROM fm2),
-             |fm4 AS (SELECT doc_id, xor(h3, h3 >> 33) AS h4 FROM fm3),
-             |fm5 AS (SELECT doc_id, (((((h4 % 4294967296) * 3301882366 + (h4 >> 32) * 444984403) % 4294967296) * 4294967296 + (h4 % 4294967296) * 444984403) % 18446744073709551616) AS h5 FROM fm4),
-             |th AS (SELECT doc_id, xor(h5, h5 >> 33) AS h FROM fm5),
-             |bits AS (
-             |  SELECT doc_id, b,
-             |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
-             |  FROM th, range(64) r(b) GROUP BY doc_id, b),
-             |sig AS (
-             |  SELECT doc_id,
-             |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS u
-             |  FROM bits GROUP BY doc_id),
-             |s2 AS (SELECT doc_id,
-             |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
-             |FROM sig)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-             |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-             |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(s"""$simhashSigCte,
+              |s2 AS (SELECT doc_id,
+              |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
+              |FROM sig)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ----- similarity search ----------------------------------------------
 

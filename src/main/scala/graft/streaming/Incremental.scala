@@ -125,7 +125,12 @@ object Incremental {
 
         val storedBronze = spark.read.schema(bronzeSchema).parquet(bronzePath)
           .where(col("match").isin(matches: _*))
+        // materialize ONCE: mergeUpsertKeyed evaluates its source plan
+        // several times (dup-key guard, partition-tuple collect,
+        // anti-join keys, final write) — an unmaterialized silver would
+        // re-run the whole enrichment per pass
         val silver = Enrich.transform(spark, storedBronze, meta, players)
+          .localCheckpoint(true)
         gio.Tables.mergeUpsertKeyed(spark, silver, silverPath,
           keys = Seq("match", "innings", "over", "ball", "rebowl"),
           partitionCols = Seq("match", "innings"))
