@@ -139,6 +139,53 @@ object LlmQueries {
              |    AS BIGINT) AS max_bpe_tokens
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // End-to-end corpus pipeline in ONE lazy plan — quality filter →
+    // layout-independent stratified sample → sharded sequence packing —
+    // the compose-don't-materialize story: Catalyst sees the whole
+    // chain, so the quality predicates reach the scan and the sample
+    // filter runs before the packing shuffle. Every stage is integer/
+    // portable-hash arithmetic, so the full pipeline has an exact
+    // DuckDB oracle. Filter: ≥ 20 tokens and punctuation ≤ 1/4 of
+    // tokens (integer comparisons only — no FP thresholds to diverge).
+    Q("q_pipeline_filter_sample_pack",
+      (s, dir) => {
+        val d = documents(s, dir)
+        val quality = d.where(
+          TextAnalysis.tokenCount(col("text")) >= 20 &&
+          TextAnalysis.punctCount(col("text")) * 4 <=
+            TextAnalysis.tokenCount(col("text")))
+        val sampled = graft.operators.Sampling.stratifiedByHash(
+          quality, when(col("lang") <= "en", 0.5).otherwise(0.2))
+        graft.operators.Packing
+          .packSummarySharded(sampled, 512, shardWidth = 100L)
+          .orderBy("lang", "pack_id")
+      },
+      Some(s"""WITH kept AS (SELECT doc_id, lang, text FROM documents
+              |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+              |    AND 4 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+              |        <= len(regexp_split_to_array(trim(text), '\\s+'))
+              |    AND ${graft.operators.Sampling.portableBucketSql("doc_id", 42)}
+              |        < (CASE WHEN lang <= 'en' THEN 0.5 ELSE 0.2 END) * 10000),
+              |t AS (SELECT doc_id, lang, doc_id // 100 AS shard,
+              |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+              |  FROM kept),
+              |c AS (SELECT lang, shard, doc_id, n_tokens,
+              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              |  FROM t),
+              |l AS (SELECT lang, shard, n_tokens,
+              |    CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS local_pack FROM c),
+              |o AS (SELECT lang, shard, MAX(local_pack) + 1 AS n_packs
+              |  FROM l GROUP BY lang, shard),
+              |o2 AS (SELECT lang, shard,
+              |    COALESCE(SUM(n_packs) OVER (PARTITION BY lang ORDER BY shard
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+              |  FROM o)
+              |SELECT l.lang, l.local_pack + o2.pack_offset AS pack_id,
+              |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+              |FROM l JOIN o2 ON l.lang = o2.lang AND l.shard = o2.shard
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // TF-IDF salient-term extraction: score = (tf/len)·N/df — no log-IDF
     // because ln's last ulp is libm-dependent, while this fixed-order
     // IEEE chain over exact integers is bit-reproducible in any engine
