@@ -219,7 +219,7 @@ object Tables {
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val keyCond = keys.map(k => existing(k) <=> srcKeys(k)).reduce(_ && _)
     val kept = existing.join(srcKeys, keyCond, "left_anti")
-    val merged = kept.unionByName(source.select(existing.columns.map(col): _*))
+    val merged = kept.unionByName(source.select(existing.columns.toIndexedSeq.map(col): _*))
       .localCheckpoint(eager = true)
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

@@ -59,7 +59,7 @@ object Incremental {
       if (gio.Tables.tableExists(spark, bronzePath)) {
         val existing = spark.read.schema(bronzeSchema).parquet(bronzePath)
           .where(col("match").isin(matches: _*))
-          .select(decoded.columns.map(col): _*)
+          .select(decoded.columns.toIndexedSeq.map(col): _*)
         val maxSeq = existing.agg(max("seq")).first() match {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0) + 1

@@ -91,7 +91,7 @@ class IoTablesSpec extends SparkSpec {
 
     // upsert only match 1's partitions with a doctored frame: other
     // matches must remain untouched, match 1 fully replaced
-    val m1 = silver.select(silver.columns.map(col): _*)
+    val m1 = silver.select(silver.columns.toIndexedSeq.map(col): _*)
       .where(col("match").startsWith("01_"))
       .withColumn("venue", lit("REPLACED"))
     Tables.upsertSilverPartitions(m1, path)
