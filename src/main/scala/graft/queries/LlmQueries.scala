@@ -380,12 +380,78 @@ object LlmQueries {
              |WHERE d.lang = 'de'
              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
+    // b=8, r=8: collision prob ≈0.99 at J=0.9, ≈0.03 at J=0.5 — the
+    // banding itself prunes the low-similarity mass of this corpus.
+    // Like the hyperplane ANN, MinHash-LSH is "approximate" only in
+    // recall — every number it produces is deterministic arithmetic, so
+    // the ENTIRE banded pipeline has an independent DuckDB oracle:
+    // per-permutation tokenHash (String.hashCode ^ fmix64-scrambled
+    // seed, the same 32-bit-split HUGEINT machinery as the simhash
+    // oracle), SIGNED-long minima (Scala compares signed), the in-band
+    // 31-polynomial bucket fold, candidate join, the ≥ 48/64
+    // signature-agreement gate, and exact token-set Jaccard — which
+    // also independently proves banding+gate lose no emitted pair.
     Q("q_dedup_minhash_lsh",
-      // b=8, r=8: collision prob ≈0.99 at J=0.9, ≈0.03 at J=0.5 — the
-      // banding itself prunes the low-similarity mass of this corpus.
       (s, dir) => Dedup.minhashLshPairs(documents(s, dir), 0.9,
         bands = 8, rows = 8).orderBy("doc_a", "doc_b"),
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+             |  FROM documents),
+             |toksets AS (
+             |  SELECT doc_id, list(t) AS ts, COUNT(*) AS n FROM toks GROUP BY doc_id),
+             |hc AS (
+             |  SELECT doc_id, t,
+             |    list_reduce(
+             |      list_prepend(CAST(0 AS HUGEINT),
+             |        list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+             |      (h, c) -> (h * 31 + c) % 4294967296) AS u32
+             |  FROM toks),
+             |u64 AS (
+             |  SELECT doc_id, t,
+             |    CASE WHEN u32 >= 2147483648 THEN u32 + 18446744073709551616 - 4294967296 ELSE u32 END AS uh
+             |  FROM hc),
+             |perms AS (
+             |  SELECT CAST(i AS INT) AS i,
+             |    (CAST(11400714819323198485 AS HUGEINT) * (i + 1)) % 18446744073709551616 AS xork
+             |  FROM range(64) r(i)),
+             |f1 AS (SELECT doc_id, t, i, xor(uh, xork) AS h1 FROM u64, perms),
+             |f2 AS (SELECT doc_id, t, i, xor(h1, h1 >> 33) AS h2 FROM f1),
+             |f3 AS (SELECT doc_id, t, i, (((((h2 % 4294967296) * 4283543511 + (h2 >> 32) * 3981806797) % 4294967296) * 4294967296 + (h2 % 4294967296) * 3981806797) % 18446744073709551616) AS h3 FROM f2),
+             |f4 AS (SELECT doc_id, t, i, xor(h3, h3 >> 33) AS h4 FROM f3),
+             |f5 AS (SELECT doc_id, t, i, (((((h4 % 4294967296) * 3301882366 + (h4 >> 32) * 444984403) % 4294967296) * 4294967296 + (h4 % 4294967296) * 444984403) % 18446744073709551616) AS h5 FROM f4),
+             |th AS (SELECT doc_id, i, xor(h5, h5 >> 33) AS h FROM f5),
+             |sig AS (  -- Scala compares SIGNED longs: re-sign before MIN
+             |  SELECT doc_id, i,
+             |    MIN(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END) AS s
+             |  FROM th GROUP BY doc_id, i),
+             |bands AS (
+             |  SELECT doc_id, CAST(i // 8 AS INT) AS bd,
+             |    list(CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + 18446744073709551616 ELSE CAST(s AS HUGEINT) END ORDER BY i) AS ss
+             |  FROM sig GROUP BY doc_id, i // 8),
+             |buckets AS (
+             |  SELECT doc_id, bd,
+             |    CAST(bd AS BIGINT) * 72057594037927936 +
+             |      CAST(list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), ss),
+             |        (a, x) -> (a * 31 + x) % 18446744073709551616) % 281474976710656 AS BIGINT) AS bucket
+             |  FROM bands),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+             |  WHERE a.doc_id < b.doc_id),
+             |gated AS (
+             |  SELECT c.doc_a, c.doc_b
+             |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+             |    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+             |  GROUP BY c.doc_a, c.doc_b
+             |  HAVING SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 48),
+             |verified AS (
+             |  SELECT g.doc_a, g.doc_b,
+             |    CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+             |      / (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts))) AS jaccard
+             |  FROM gated g JOIN toksets ta ON ta.doc_id = g.doc_a
+             |    JOIN toksets tb ON tb.doc_id = g.doc_b)
+             |SELECT doc_a, doc_b, jaccard FROM verified
+             |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // SimHash signatures, oracled: tokenHash is Java String.hashCode
     // (32-bit wrapping fold) xor'd/scrambled by fmix64 — every step is
@@ -438,10 +504,64 @@ object LlmQueries {
              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // The hyperplane-LSH ANN is "approximate" only in RECALL — its
+    // output is fully deterministic (fixed-seed LCG hyperplanes, fixed-
+    // order IEEE dot products), so it gets a complete oracle: the
+    // recursive CTE replays the exact LCG (64-bit wrapping state via
+    // HUGEINT with the 32-bit-split multiply; (s >> 11)/2^53 − 0.5
+    // reproduces the double bit-for-bit), regenerates all 8×8×64 plane
+    // components in fill order, rebuilds every bucket/candidate, and
+    // re-ranks by the same ordered-fold cosine. MATCHed bit-exact.
     Q("q_embed_ann_lsh",
       (s, dir) => Similarity.annTopK(embeddings(s, dir), 5, 5)
         .orderBy("query_id", "rank"),
-      None),
+      Some("""WITH RECURSIVE lcg(k, s) AS (
+             |  SELECT 0, (((((CAST(25214903917 AS HUGEINT) % 4294967296) * 1481765933 + (25214903917 >> 32) * 1284865837) % 4294967296) * 4294967296 + (25214903917 % 4294967296) * 1284865837) % 18446744073709551616 + 1442695040888963407) % 18446744073709551616
+             |  UNION ALL
+             |  SELECT k + 1, (((((s % 4294967296) * 1481765933 + (s >> 32) * 1284865837) % 4294967296) * 4294967296 + (s % 4294967296) * 1284865837) % 18446744073709551616 + 1442695040888963407) % 18446744073709551616 FROM lcg WHERE k < 4095),
+             |pvals AS (
+             |  SELECT CAST(k // 512 AS INT) AS t, CAST((k // 64) % 8 AS INT) AS b,
+             |    CAST(k % 64 AS INT) AS i,
+             |    CAST(s >> 11 AS DOUBLE) / 9007199254740992.0 - 0.5 AS p
+             |  FROM lcg),
+             |planes AS (
+             |  SELECT t, b, list(p ORDER BY i) AS pl FROM pvals GROUP BY t, b),
+             |v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+             |vn AS (
+             |  SELECT vec_id, vec,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(vec, x -> x * x)), (a, x) -> a + x)) AS nrm
+             |  FROM v),
+             |dots AS (
+             |  SELECT vec_id, t, b,
+             |    list_reduce(list_prepend(0.0,
+             |      list_transform(list_zip(pl, vec), z -> z[1] * z[2])),
+             |      (a, x) -> a + x) AS s
+             |  FROM vn, planes),
+             |buckets AS (
+             |  SELECT vec_id, t,
+             |    CAST(t AS BIGINT) * 4294967296 +
+             |      SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+             |  FROM dots GROUP BY vec_id, t),
+             |cand AS (
+             |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+             |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+             |scored AS (
+             |  SELECT cand.query_id, cand.neighbor_id,
+             |    list_reduce(list_prepend(0.0,
+             |      list_transform(list_zip(qa.vec, ca.vec), z -> z[1] * z[2])),
+             |      (a, x) -> a + x) / (qa.nrm * ca.nrm) AS cos
+             |  FROM cand
+             |  JOIN vn qa ON qa.vec_id = cand.query_id
+             |  JOIN vn ca ON ca.vec_id = cand.neighbor_id),
+             |r AS (
+             |  SELECT query_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("q_embed_ann_ivf",
       (s, dir) => Similarity.ivfTopK(embeddings(s, dir), 5, 5)
