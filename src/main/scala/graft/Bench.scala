@@ -14,13 +14,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/JIT/codegen/parquet-reader warmup so whichever query the map
-    // happens to order first doesn't absorb one-time startup cost (the
-    // UDF+explode+array_intersect path alone is ~25 s of JIT on first
-    // execution at sf0.1).
+    // happens to order first doesn't absorb one-time startup cost. The
+    // r5 driver run showed the 64-row warmup alone is NOT enough: the
+    // first ~10 timed queries of a cold JVM ran 4-30x their steady cost
+    // (minhash median 39 s vs 7 s steady), so also touch every base
+    // table at full sf and prime the heavy operator paths on real rows.
     locally {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       import graft.operators.{Dedup, Similarity}
+      Seq("nation", "region", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
       spark.read.parquet(s"$sfDir/nation.parquet")
         .withColumn("rn", row_number().over(
           Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
@@ -49,27 +55,37 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val secs =
-        if (heavy(name)) Seq(once(name, fn), once(name, fn), once(name, fn)).sorted(Ordering.Double.TotalOrdering)(1)
-        else once(name, fn)
-      name -> secs
+    // Run the heavy queries LAST (the light ~75 double as further JVM
+    // warmup) and give each heavy one untimed priming run before its
+    // timed median: C2 compilation of a heavy path only finishes during
+    // its first real-scale execution, and a median of 3 cold runs is
+    // still cold.
+    val (lightQ, heavyQ) = SparkEntry.queries.partition { case (n, _) => !heavy(n) }
+    val lightResults = lightQ.map { case (name, fn) => name -> once(name, fn) }
+    val heavyResults = heavyQ.map { case (name, fn) =>
+      once(name, fn) // untimed prime
+      name -> Seq(once(name, fn), once(name, fn), once(name, fn))
+        .sorted(Ordering.Double.TotalOrdering)(1)
     }
+    val results = lightResults ++ heavyResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    // The harness keeps only the TAIL of this process's output, and the
-    // full per-query map is one long line — so emit the headline total on
-    // its own short line FIRST (survives any truncation that still keeps
-    // the JSON line) and persist the complete JSON to a file as the
-    // canonical record.
-    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson}""")
+    val totalOnly =
+      s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson}"""
+    // The harness keeps only the TAIL of this process's output and the
+    // full per-query map is one long line, so the r5 "total first" fix
+    // was itself truncated away. Order matters: giant line first, short
+    // headline line LAST so the tail always retains a parseable total.
+    // The complete JSON also goes to bench_last.json as the canonical
+    // record.
     println(json)
-    // best-effort file copy AFTER both stdout lines: a read-only cwd
-    // must not cost the per-query record
+    println(totalOnly)
+    // best-effort file copy: a read-only cwd must not cost the
+    // per-query record
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
