@@ -28,6 +28,21 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Overlapping space-joined word n-grams of the trimmed document;
+    * empty array when the document has fewer than n tokens. Pure column
+    * expressions (sequence + slice under transform), so the n-gram
+    * stream is generated inside codegen with no UDF and no shuffle —
+    * the input shape for decontamination overlap joins and repetition
+    * scoring. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
   /** Characters removed when stripping punctuation = punctuation count. */
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("long")

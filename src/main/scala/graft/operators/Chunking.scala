@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Fixed-window overlapping document chunking — the context-window
+  * splitting step of a training-data pipeline (long documents become
+  * `window`-token chunks every `stride` tokens, so consecutive chunks
+  * overlap by `window − stride` tokens).
+  *
+  * Scale shape: entirely per-row column arithmetic — chunk count, chunk
+  * boundaries and chunk text are integer expressions + `slice` over the
+  * token array, expanded with one `posexplode`-style `explode` of a
+  * `sequence`. No shuffle, no UDF; a document's chunks are emitted on
+  * whatever partition holds the document, so the operator is
+  * embarrassingly parallel at corpus scale.
+  */
+object Chunking {
+
+  /** `(doc_id, chunk_id, start_tok, n_tok, chunk_text)`, 1-based ids and
+    * token offsets. Every document emits ≥ 1 chunk (a short document is
+    * one chunk of its full length); the last chunk may be shorter than
+    * `window`. */
+  def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    def chunkStart(id: Column) = (id - 1) * stride
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("n_tok_doc", size(col("t")).cast("long"))
+      // 1 + ceil(max(len - window, 0) / stride), in integer arithmetic
+      .withColumn("n_chunks",
+        lit(1L) + floor((greatest(col("n_tok_doc") - window, lit(0L)) +
+          (stride - 1)) / stride).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(1L), col("n_chunks"))))
+      .withColumn("start_tok", (chunkStart(col("chunk_id")) + 1).cast("long"))
+      .withColumn("n_tok",
+        least(lit(window.toLong),
+          col("n_tok_doc") - chunkStart(col("chunk_id"))).cast("long"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("t"), col("start_tok").cast("int"),
+          col("n_tok").cast("int"))))
+      .select("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")
+  }
+}

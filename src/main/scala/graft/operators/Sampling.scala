@@ -67,4 +67,43 @@ object Sampling {
     }
     stratifiedByHash(df, frac, idCol, seed)
   }
+
+  /** Corpus mixture resampling: deterministically downsample each stratum
+    * toward target mixture `weights` (integer numerators over
+    * `weightDen`; e.g. en→4, fr→2 … over 10 = "40% en, 20% fr …" of the
+    * ORIGINAL corpus size). A stratum below its target keeps every row
+    * (no upsampling); strata absent from `weights` are dropped.
+    *
+    * Membership is the exact integer predicate
+    * `bucket · weightDen · n_stratum < w · n_total · granularity`
+    * — a cross-multiplied form of `bucket/granularity <
+    * (w/weightDen · n_total)/n_stratum` with no floating point anywhere,
+    * so the kept set is bit-reproducible on any engine and any layout
+    * (same [[portableBucket]] contract as [[stratifiedByHash]]).
+    *
+    * Scale shape: the per-stratum counts are a stratum-cardinality-sized
+    * aggregate joined back by explicit `broadcast`; the filter itself is
+    * one codegen'd predicate, so the whole operator costs one scan plus
+    * one tiny aggregate — no data-sized shuffle. Long arithmetic holds to
+    * corpus sizes of ~10^13 rows (bucket < 10^4, weightDen ~10:
+    * 10^4·10·10^13 < 2^63). */
+  def mixtureResample(df: DataFrame, weights: Map[String, Int],
+                      weightDen: Int, stratumCol: String = "lang",
+                      idCol: String = "doc_id", seed: Int = 42,
+                      granularity: Int = 10000): DataFrame = {
+    require(weights.values.forall(_ >= 0) && weightDen > 0,
+      "weights must be non-negative integer numerators over a positive denominator")
+    val counts = df.groupBy(col(stratumCol).as("_stratum"))
+      .agg(count(lit(1)).as("_n_stratum"))
+    val total = df.agg(count(lit(1)).as("_n_total"))
+    val w = weights.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    df.join(broadcast(counts), col(stratumCol) === col("_stratum"))
+      .crossJoin(broadcast(total))
+      .where(portableBucket(col(idCol), seed, granularity) *
+        weightDen * col("_n_stratum") <
+        w * col("_n_total") * granularity)
+      .drop("_stratum", "_n_stratum", "_n_total")
+  }
 }

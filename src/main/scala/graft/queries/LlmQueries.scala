@@ -674,5 +674,169 @@ object LlmQueries {
              |  CASE WHEN f_byte_len = 0 THEN 0.0
              |       ELSE CAST(f_byte_sum AS DOUBLE) / f_byte_len END AS f_mean
              |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // ----- corpus curation: decontamination / repetition / chunking /
+    // ----- mixture / end-to-end dedup removal -----------------------------
+
+    // Benchmark decontamination: a deterministic 2% of the corpus plays
+    // the "benchmark suite" (portable-bucket < 200 of 10000 on doc_id),
+    // and every remaining TRAINING doc sharing a word 3-gram with it is
+    // flagged with its distinct-overlap count. The eval n-gram set is
+    // broadcast (benchmarks are KB–MB vs a TB corpus); the corpus side
+    // map-joins and the only shuffle is the per-doc count — see
+    // operators/Decontaminate.scala.
+    Q("q_decontaminate_ngram",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val isBench = graft.operators.Sampling
+          .portableBucket(col("doc_id"), 7) < 200
+        graft.operators.Decontaminate
+          .overlapReport(docs.where(!isBench), docs.where(isBench), n = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${graft.operators.Sampling.portableBucketSql("doc_id", 7)} AS b,
+              |    regexp_split_to_array(trim(text), '\\s+') AS t
+              |  FROM documents),
+              |grams AS (
+              |  SELECT doc_id, b,
+              |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+              |      i -> array_to_string(t[i:i+2], ' '))) AS gram
+              |  FROM toks),
+              |ev AS (SELECT DISTINCT gram FROM grams WHERE b < 200)
+              |SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared
+              |FROM grams g JOIN ev USING (gram) WHERE g.b >= 200
+              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition signals, aggregated per lang in pure
+    // integers (no FP accumulation): top-bigram mass, total bigrams,
+    // distinct-token mass, and how many docs have a single bigram
+    // exceeding 4% of their bigrams (top·25 > total — cross-multiplied,
+    // no division). Per-(doc,gram) counts are one shuffle with map-side
+    // combine; keys grow with the corpus, never with a stratum.
+    Q("q_text_repetition",
+      (s, dir) => {
+        val base = documents(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          size(TextAnalysis.tokenSet(col("text"))).cast("long").as("n_distinct"),
+          TextAnalysis.wordNgrams(col("text"), 2).as("grams"))
+        val perDoc = base
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_bigram"),
+            sum("c").as("total_bigrams"))
+        base.join(perDoc, Seq("doc_id"), "left")
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(coalesce(col("top_bigram"), lit(0L))).as("sum_top_bigram"),
+            sum(coalesce(col("total_bigrams"), lit(0L))).as("sum_total_bigrams"),
+            sum("n_distinct").as("sum_distinct_tokens"),
+            sum("n_tokens").as("sum_tokens"),
+            sum(when(col("top_bigram") * 25 > col("total_bigrams"), 1L)
+              .otherwise(0L)).as("n_repetitive"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, lang, len(t) AS n_tokens,
+             |    len(list_distinct(t)) AS n_distinct, t FROM toks),
+             |grams AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, greatest(len(t), 1)),
+             |      i -> array_to_string(t[i:i+1], ' '))) AS gram
+             |  FROM toks),
+             |per_gram AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+             |per_doc AS (SELECT doc_id, MAX(c) AS top_bigram,
+             |    SUM(c) AS total_bigrams FROM per_gram GROUP BY 1)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(COALESCE(top_bigram, 0)) AS BIGINT) AS sum_top_bigram,
+             |  CAST(SUM(COALESCE(total_bigrams, 0)) AS BIGINT) AS sum_total_bigrams,
+             |  CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct_tokens,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(top_bigram, 0) * 25 > total_bigrams)
+             |    AS BIGINT) AS n_repetitive
+             |FROM base LEFT JOIN per_doc USING (doc_id)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Context-window chunking: 40-token windows every 30 tokens (10-token
+    // overlap). Integer boundary arithmetic + slice, one explode, zero
+    // shuffles — see operators/Chunking.scala.
+    Q("q_text_chunk",
+      (s, dir) => graft.operators.Chunking
+        .chunk(documents(s, dir), window = 40, stride = 30)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+             |  FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, len(t) AS n_tok_doc,
+             |    unnest(range(1, 2 + CAST(floor((greatest(len(t)-40, 0)+29)/30) AS BIGINT)))
+             |      AS chunk_id, t
+             |  FROM toks)
+             |SELECT doc_id, chunk_id,
+             |  1 + (chunk_id-1)*30 AS start_tok,
+             |  least(40, n_tok_doc - (chunk_id-1)*30) AS n_tok,
+             |  array_to_string(
+             |    t[(1+(chunk_id-1)*30):((chunk_id-1)*30 +
+             |       least(40, n_tok_doc - (chunk_id-1)*30))], ' ') AS chunk_text
+             |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Corpus mixture resampling toward target lang weights (40% en,
+    // 20% fr, 20% es, 10% de, 10% zh of the original corpus size;
+    // under-represented strata keep everything). Membership is the
+    // cross-multiplied integer predicate over the portable hash — no FP,
+    // layout-independent, engine-reproducible. See
+    // operators/Sampling.mixtureResample.
+    Q("q_corpus_mixture",
+      (s, dir) => graft.operators.Sampling
+        .mixtureResample(documents(s, dir),
+          Map("en" -> 4, "fr" -> 2, "es" -> 2, "de" -> 1, "zh" -> 1),
+          weightDen = 10, seed = 42)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_kept"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("tokens_kept"))
+        .orderBy("lang"),
+      Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+              |t AS (SELECT COUNT(*) AS n_total FROM documents),
+              |kept AS (
+              |  SELECT d.lang, d.text FROM documents d
+              |  JOIN c USING (lang) CROSS JOIN t
+              |  WHERE ${graft.operators.Sampling.portableBucketSql("doc_id", 42)}
+              |      * 10 * n_stratum <
+              |    (CASE lang WHEN 'en' THEN 4 WHEN 'fr' THEN 2 WHEN 'es' THEN 2
+              |               WHEN 'de' THEN 1 WHEN 'zh' THEN 1 ELSE 0 END)
+              |      * n_total * 10000)
+              |SELECT lang, COUNT(*) AS n_kept,
+              |  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+              |    AS tokens_kept
+              |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // End-to-end exact-dedup REMOVAL (not just group detection): keep
+    // each fingerprint's canonical doc, report the surviving corpus per
+    // lang. The join back is fingerprint-group-sized and keyed on
+    // doc_id = canonical_id; composition of Dedup.exactGroups with the
+    // corpus scan in one lazy plan.
+    Q("q_dedup_prune",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val groups = Dedup.exactGroups(docs)
+        docs.join(groups, docs("doc_id") === groups("canonical_id"))
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("dup_count") - 1).as("n_removed"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("tokens_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH g AS (SELECT md5(lower(trim(text))) AS fp,
+             |    MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+             |  FROM documents GROUP BY 1)
+             |SELECT lang, COUNT(*) AS n_kept,
+             |  CAST(SUM(dup_count - 1) AS BIGINT) AS n_removed,
+             |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             |    AS tokens_kept
+             |FROM documents d JOIN g ON d.doc_id = g.canonical_id
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

@@ -443,6 +443,31 @@ object RelationalQueries {
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)),
 
+    // Salted skew join: the hot-key remedy when the dim side is too big
+    // to broadcast and one fact key would otherwise land on a single
+    // reducer — fact rows get a deterministic salt, dim rows replicate
+    // ×salts, the join runs on (key, salt). Result is identical to the
+    // plain equi-join (which is exactly what the oracle runs); salting
+    // is a physical redistribution, invisible in the output. See
+    // operators/SkewJoin.scala; the (key, salt) join key is pinned in
+    // PlanAuditSpec.
+    Q("q_join_salted",
+      (s, dir) => {
+        val li = lineitem(s, dir)
+          .select(col("l_partkey"), col("l_extendedprice"))
+        val p = part(s, dir)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        graft.operators.SkewJoin.saltedInner(li, p, "l_partkey", salts = 8)
+          .groupBy("p_brand").agg(
+            count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+              |  ${sqlDsum("l_extendedprice")} AS revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // Temporal joins — operators Spark lacks natively, composed scale-
     // first (operators/TemporalJoins.scala); oracles use DuckDB's native
     // ASOF JOIN / inequality join as the independent formulation.

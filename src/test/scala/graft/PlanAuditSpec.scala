@@ -122,6 +122,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size <= 5, s"${exchanges.size} exchanges:\n${plan.take(2000)}")
   }
 
+  test("q_join_salted: join key carries the salt; dim side replicated, not cartesian") {
+    val plan = executed("q_join_salted")
+    // the equi-join must run on (l_partkey, _salt) — a plan that lost
+    // the salt re-concentrates the hot key on one reducer
+    assert(plan.contains("_salt"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("q_decontaminate_ngram: eval n-gram set broadcast; corpus side never sort-merges") {
+    val plan = executed("q_decontaminate_ngram")
+    // benchmark suites are KB–MB vs a TB corpus: the overlap join must
+    // be a broadcast hash join keyed on the gram, with the corpus-sized
+    // side map-joining in place
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("q_text_chunk: shuffle-free chunk generation (only the output sort exchanges)") {
+    val plan = executed("q_text_chunk")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size == 1, s"${exchanges.size} exchanges:\n${plan.take(1500)}")
+  }
+
+  test("q_corpus_mixture: stratum counts broadcast back; no corpus-sized sort-merge") {
+    val plan = executed("q_corpus_mixture")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("q_sql_view_topk: the SQL text compiles to the DataFrame top-k plan") {
     val plan = executed("q_sql_view_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
