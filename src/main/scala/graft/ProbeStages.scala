@@ -47,6 +47,37 @@ object ProbeStages {
       time("minhash FULL")(
         Dedup.minhashLshPairs(docs, 0.9, bands = 8, rows = 8).count())
       time("jaccard FULL")(Dedup.jaccardPairs(docs, 0.9).count())
+
+      // decontamination stage split
+      val isBench = graft.operators.Sampling
+        .portableBucket(col("doc_id"), 7) < 200
+      val grams3 = explode(array_distinct(
+        TextAnalysis.wordNgrams(col("text"), 3))).as("gram")
+      time("decon: train grams only")(
+        docs.where(!isBench).select(col("doc_id"), grams3).count())
+      time("decon: bench grams distinct")(
+        docs.where(isBench).select(grams3).distinct().count())
+      val bg = docs.where(isBench)
+        .select(explode(TextAnalysis.wordNgrams(col("text"), 3)).as("gram"))
+        .distinct()
+      time("decon: join only")(
+        docs.where(!isBench).select(col("doc_id"), grams3)
+          .join(broadcast(bg), "gram").count())
+      time("decon: FULL")(graft.operators.Decontaminate.overlapReport(
+        docs.where(!isBench), docs.where(isBench), 3).count())
+      // explode-first alternative: generator emits indices, the gram is
+      // built by codegen'd slice+concat_ws OUTSIDE any lambda
+      time("decon: train grams explode-first")(
+        docs.where(!isBench)
+          .select(col("doc_id"),
+            TextAnalysis.tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("t"),
+            explode(when(size(col("t")) >= 3,
+              sequence(lit(1), size(col("t")) - 2))
+              .otherwise(typedLit(Seq.empty[Int]))).as("i"))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("t"), col("i"), lit(3))).as("gram"))
+          .count())
     }
     spark.stop()
   }

@@ -838,5 +838,34 @@ object LlmQueries {
              |    AS tokens_kept
              |FROM documents d JOIN g ON d.doc_id = g.canonical_id
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // PII-safe export: deterministic pseudonymization keeps referential
+    // integrity (the same portable-hash token on both sides of the
+    // customer↔orders relationship), masking keeps a display column.
+    // Per-row codegen'd expressions — anonymization adds zero shuffles
+    // to the plan; the token arithmetic is the portable hash, so the
+    // oracle reproduces every token bit-exact. See functions/Anonymize.
+    Q("q_anonymize_export",
+      (s, dir) => {
+        import graft.functions.Anonymize
+        val cust = table(s, dir, "customer").select(
+          col("c_custkey"),
+          Anonymize.pseudonymizeId(col("c_custkey"), 99).as("pseudo_id"),
+          Anonymize.maskAllButLast(col("c_name"), 4).as("masked_name"))
+        table(s, dir, "orders")
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("pseudo_id", "masked_name").agg(
+            count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("spend"))
+          .orderBy("pseudo_id")
+      },
+      Some(s"""SELECT ${graft.functions.Anonymize.pseudonymizeIdSql("c_custkey", 99)}
+              |    AS pseudo_id,
+              |  repeat('*', greatest(length(c_name) - 4, 0)) || right(c_name, 4)
+              |    AS masked_name,
+              |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |  ${sqlDsum("o_totalprice")} AS spend
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY 1, 2 ORDER BY pseudo_id""".stripMargin)),
   )
 }

@@ -100,6 +100,27 @@ class CurationSpec extends SparkSpec {
     assert(hotSalts > 1, s"hot key used $hotSalts salt(s)")
   }
 
+  test("pseudonymization is deterministic, collision-free on the key range, maskable") {
+    import graft.functions.Anonymize
+    val ids = spark.range(0, 20000).toDF("id")
+    val tok = ids.select(Anonymize.pseudonymizeId(col("id"), 99).as("t"))
+    // injective on a realistic key range (collisions would silently
+    // merge customers after anonymization)
+    assert(tok.distinct().count() == 20000)
+    // deterministic across evaluations and layouts
+    val a = tok.as[Long].collect().toSeq
+    val b = ids.repartition(7)
+      .select(Anonymize.pseudonymizeId(col("id"), 99).as("t"))
+      .as[Long].collect().toSeq
+    assert(a.toSet == b.toSet)
+    // masking keeps only the last 4 characters
+    val m = Seq("Customer#000000042", "abc").toDF("s")
+      .select(Anonymize.maskAllButLast(col("s"), 4).as("m"))
+      .as[String].collect().toSeq
+    assert(m.contains("**************0042"))
+    assert(m.contains("abc")) // shorter than keep → unmasked, not padded
+  }
+
   test("repetition query flags a degenerate doc and not a diverse one") {
     val d = docs(
       1L -> Seq.fill(30)("spam ham").mkString(" "),       // one dominant bigram
