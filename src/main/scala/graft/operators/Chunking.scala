@@ -21,13 +21,17 @@ object Chunking {
   /** `(doc_id, chunk_id, start_tok, n_tok, chunk_text)`, 1-based ids and
     * token offsets. Every document emits ≥ 1 chunk (a short document is
     * one chunk of its full length); the last chunk may be shorter than
-    * `window`. */
+    * `window`. A null or whitespace-only `text` still emits exactly one
+    * chunk (n_tok = 1, empty chunk_text): the split of the trimmed-empty
+    * string is a single empty token, and null is coalesced to empty so
+    * the ≥ 1-chunk invariant holds for every input row. */
   def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
     def chunkStart(id: Column) = (id - 1) * stride
     docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))
       .withColumn("n_tok_doc", size(col("t")).cast("long"))
       // 1 + ceil(max(len - window, 0) / stride), in integer arithmetic
       .withColumn("n_chunks",

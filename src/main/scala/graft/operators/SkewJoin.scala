@@ -26,6 +26,10 @@ object SkewJoin {
   def saltedInner(fact: DataFrame, dim: DataFrame, key: String,
                   salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    // A pre-existing _salt would be silently replaced on the fact side
+    // and collide with the dim explode, yielding wrong join results.
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedInner reserves the column name _salt; rename it on the input")
     val saltedFact = fact.withColumn("_salt",
       pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val saltedDim = dim.withColumn("_salt",

@@ -178,8 +178,8 @@ object LlmQueries {
               |o AS (SELECT lang, shard, MAX(local_pack) + 1 AS n_packs
               |  FROM l GROUP BY lang, shard),
               |o2 AS (SELECT lang, shard,
-              |    COALESCE(SUM(n_packs) OVER (PARTITION BY lang ORDER BY shard
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+              |    CAST(COALESCE(SUM(n_packs) OVER (PARTITION BY lang ORDER BY shard
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset
               |  FROM o)
               |SELECT l.lang, l.local_pack + o2.pack_offset AS pack_id,
               |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
@@ -253,8 +253,8 @@ object LlmQueries {
              |o AS (SELECT lang, shard, MAX(local_pack) + 1 AS n_packs
              |  FROM l GROUP BY lang, shard),
              |o2 AS (SELECT lang, shard,
-             |    COALESCE(SUM(n_packs) OVER (PARTITION BY lang ORDER BY shard
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+             |    CAST(COALESCE(SUM(n_packs) OVER (PARTITION BY lang ORDER BY shard
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset
              |  FROM o)
              |SELECT l.lang, l.local_pack + o2.pack_offset AS pack_id,
              |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens

@@ -63,6 +63,14 @@ for name in sorted(os.listdir(OUT)):
     if len(got) != len(exp):
         results[name] = f"ROWS: got={len(got)} exp={len(exp)}"
         continue
+    # The driver hashes VALUES, so a dtype mismatch (e.g. DuckDB HUGEINT
+    # fetched as float64/object vs Spark's int64) fails its hash even
+    # when Python == passes (3.0 == 3). Catch it here.
+    dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype))
+              for c in got.columns if got[c].dtype != exp[c].dtype]
+    if dt_bad:
+        results[name] = f"DTYPE: {dt_bad}"
+        continue
     gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
     bad = None
