@@ -132,67 +132,117 @@ object Similarity {
         col("neighbor_id"))
   }
 
-  /** IVF (inverted-file) approximate top-k: k-means coarse quantizer,
-    * each vector assigned to its nearest centroid's list; a query probes
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * assigns each vector to its nearest centroid's list; a query probes
     * only the `nProbe` closest lists. The classic ANN scale path when an
     * LSH bucket key is too coarse: list sizes are balanced by clustering,
-    * and the probe set is an equi-join on the list id. Deterministic via
-    * fixed KMeans seed.
+    * and the probe set is an equi-join on the list id.
+    *
+    * The quantizer is a fixed-iteration Lloyd fit, fully deterministic
+    * and layout-independent (so the driver's DuckDB oracle reproduces
+    * the whole operator bit-for-bit — "approximate" means recall < 1,
+    * not nondeterminism):
+    *  - fit sample: rows with `portableBucket(vec_id, seed=7) · n <
+    *    maxFitRows · 10000` — a pure-function-of-id thinning to
+    *    ~maxFitRows rows (everything when n ≤ maxFitRows), the same
+    *    contract as [[Sampling.stratifiedByHash]]. A coarse quantizer is
+    *    statistically saturated by a few thousand points; the cap is what
+    *    makes training metadata-scale at 100 TB instead of maxIter
+    *    full-corpus passes.
+    *  - init: the nLists sample rows with smallest
+    *    `(portableBucket(vec_id, 17), vec_id)` — a deterministic
+    *    hash-spread pick, numbered in that order.
+    *  - `iters` Lloyd rounds over the sample: assignment evaluates the
+    *    argmin over BROADCAST centroid literals inside codegen (an
+    *    `array_min` over (d2, list_id) structs — no explode, no shuffle,
+    *    no per-row UDF); the mean recompute is one (list, pos)-keyed
+    *    aggregate with map-side combine whose components are integerized
+    *    first (`floor(v·1e8 + 0.5)` → DECIMAL(38,0) sum — the
+    *    [[centroidsByLabel]] order-independence trick), so centroids are
+    *    bit-identical on any engine at any parallelism. Only k·dim
+    *    centroid rows ever reach the driver. An emptied list drops out
+    *    of the quantizer (k shrinks) — deterministic on both engines.
+    *  - search: one full-corpus scan assigns candidates (same codegen'd
+    *    argmin); queries probe their nProbe nearest lists
+    *    (`slice(array_sort(...))` over the same structs); candidates
+    *    join probes on list_id and rank by exact cosine within lists.
+    *
+    * d2 = v·v + c·c − 2·(v·c) with all dot products left-to-right
+    * sequential folds ([[graft.plans.DotProduct]] ≡ DuckDB
+    * `list_dot_product`), ties broken by list_id.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              nLists: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              maxFitRows: Long = 4096L): DataFrame = {
     val spark = emb.sparkSession
     val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
 
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-      .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
-    val feats = v.withColumn("features", array_to_vector(col("vec")))
-    // The quantizer fit is the only full-data iteration here: maxIter
-    // KMeans passes over everything to train nLists centroids. A coarse
-    // quantizer is statistically saturated by a few thousand points, so
-    // fit on a deterministic seeded sample capped near `maxFitRows` —
-    // one cheap count pass replaces maxIter full-corpus passes (the
-    // difference between a metadata-scale and a 100 TB-scale job).
-    val maxFitRows = 4096L
-    val n = feats.count()
-    val fitData =
-      if (n <= maxFitRows) feats
-      else feats.sample(withReplacement = false,
-        maxFitRows.toDouble / n, seed = 7L)
-    val model = new KMeans().setK(nLists).setSeed(7L).setMaxIter(10)
-      .fit(fitData)
-    val assigned = model.transform(feats)
-      .select(col("vec_id"), col("vec"), col("nrm"),
-        col("prediction").as("list_id"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val n = v.count()
+    val fit = v.where(
+        Sampling.portableBucket(col("vec_id"), 7) * lit(n) <
+          lit(maxFitRows * 10000L))
+      .localCheckpoint() // ≤ ~maxFitRows rows; reused every Lloyd round
 
-    // nProbe nearest centroid lists per query (centroids are tiny —
-    // ranked driver-side-free via a literal array crossJoin).
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray.toSeq)
-    }.toSeq
-    val centDf = spark.createDataFrame(centroids).toDF("list_id", "cvec_center")
-      .withColumn("cvec_center", col("cvec_center").cast("array<double>"))
-    val q = assigned.where(col("vec_id") < nQueries)
+    /** (list_id, centroid vector, c·c) with c·c the same sequential fold
+      * the Column-side dot uses. */
+    def withNorm(cents: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double], Double)] =
+      cents.map { case (id, c) =>
+        var cc = 0.0; var i = 0
+        while (i < c.length) { cc += c(i) * c(i); i += 1 }
+        (id, c, cc)
+      }
+    /** Per-centroid (d2, list_id) structs — each centroid appears as one
+      * broadcast literal, evaluated inside whole-stage codegen. */
+    def scored(cents: Seq[(Int, Array[Double], Double)]): Seq[Column] =
+      cents.map { case (id, cv, cc) =>
+        struct((col("vv") + lit(cc) - lit(2.0) *
+          ndot(col("vec"), typedLit(cv.toSeq))).as("d2"), lit(id).as("id"))
+      }
+    def argmin(cents: Seq[(Int, Array[Double], Double)]): Column =
+      array_min(array(scored(cents): _*)).getField("id")
+
+    val init: Seq[(Int, Array[Double])] = fit
+      .withColumn("pb", Sampling.portableBucket(col("vec_id"), 17))
+      .orderBy("pb", "vec_id").limit(nLists)
+      .select("pb", "vec_id", "vec").collect().toSeq
+      .sortBy(r => (r.getLong(0), r.getLong(1))) // driver re-sort: collect order is not contractual
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](2).toArray) }
+
+    val cents = (1 to iters).foldLeft(withNorm(init)) { case (c, _) =>
+      val rows = fit.withColumn("list_id", argmin(c))
+        .select(col("list_id"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos")
+        .agg(sum(floor(col("x") * lit(1e8) + lit(0.5))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("cnt"))
+        .select(col("list_id"), col("pos"),
+          (col("s").cast("double") / lit(1e8) / col("cnt")).as("c"))
+        .collect()
+      withNorm(rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+        case (id, rs) =>
+          (id, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      })
+    }
+
+    // nProbe nearest lists per query: sort the same (d2, id) structs and
+    // take a bounded slice — still one codegen'd expression per row.
+    val probes = v.where(col("vec_id") < nQueries)
+      .withColumn("p",
+        explode(slice(array_sort(array(scored(cents): _*)), 1, nProbe)))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        col("nrm").as("qnrm"))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(desc("center_dot"), asc("list_id"))
-    val probes = q.crossJoin(broadcast(centDf))
-      .withColumn("center_dot", ndot(col("qvec"), col("cvec_center")))
-      .withColumn("probe_rank", row_number().over(probeW))
-      .where(col("probe_rank") <= nProbe)
-      .select("query_id", "qvec", "qnrm", "list_id")
-
-    val cand = assigned.where(col("vec_id") >= nQueries)
+        col("vv").as("qvv"), col("p.id").as("list_id"))
+    val cand = v.where(col("vec_id") >= nQueries)
+      .withColumn("list_id", argmin(cents))
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
-        col("nrm").as("cnrm"), col("list_id"))
+        col("vv").as("cvv"), col("list_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     broadcast(probes).join(cand, Seq("list_id"))
-      .withColumn("cos",
-        ndot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
+      .withColumn("cos", ndot(col("qvec"), col("cvec")) /
+        (sqrt(col("qvv")) * sqrt(col("cvv"))))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

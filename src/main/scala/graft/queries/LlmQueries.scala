@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import Tables._
 
 /** Driver-contract queries for the LLM-training-data operator families
@@ -563,10 +563,83 @@ object LlmQueries {
              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF ANN is "approximate" only in RECALL: the fixed-iteration Lloyd
+    // quantizer (portable-hash fit sample + hash-spread init + integerized
+    // DECIMAL centroid means + ordered-fold dot products) is deterministic
+    // pure arithmetic, so the oracle replays the ENTIRE operator — both
+    // Lloyd rounds unrolled as CTEs — and must match bit-for-bit. The SQL
+    // hardcodes the registry parameters (nQueries=5, k=5, nLists=16,
+    // nProbe=4, iters=2, maxFitRows=4096, bucket seeds 7/17): regenerate
+    // it if the registry call changes.
     Q("q_embed_ann_ivf",
       (s, dir) => Similarity.ivfTopK(embeddings(s, dir), 5, 5)
         .orderBy("query_id", "rank"),
-      None),
+      Some(s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+             |    list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                     CAST(embedding AS DOUBLE[])) AS vv
+             |  FROM embeddings),
+             |prm AS (SELECT COUNT(*) AS n FROM vv),
+             |fit AS (SELECT vv.* FROM vv, prm
+             |  WHERE ${Sampling.portableBucketSql("vec_id", 7)} * n < ${4096L * 10000L}),
+             |init AS (SELECT vec, vv,
+             |    ROW_NUMBER() OVER (ORDER BY pb, vec_id) - 1 AS list_id
+             |  FROM (SELECT vec_id, vec, vv,
+             |      ${Sampling.portableBucketSql("vec_id", 17)} AS pb
+             |    FROM fit ORDER BY pb, vec_id LIMIT 16)),
+             |cent0 AS (SELECT list_id, vec AS cvec, vv AS cc FROM init),
+             |asg1 AS (SELECT vec_id, vec, vv, list_id FROM (
+             |    SELECT f.vec_id, f.vec, f.vv, c.list_id,
+             |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             |        ORDER BY f.vv + c.cc - 2*list_dot_product(f.vec, c.cvec),
+             |                 c.list_id) AS rn
+             |    FROM fit f CROSS JOIN cent0 c) WHERE rn = 1),
+             |m1 AS (SELECT list_id, pos,
+             |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+             |      / 1e8 / COUNT(*) AS c
+             |  FROM (SELECT list_id, generate_subscripts(vec, 1) AS pos,
+             |          unnest(vec) AS x FROM asg1)
+             |  GROUP BY list_id, pos),
+             |cent1 AS (SELECT list_id, cvec, list_dot_product(cvec, cvec) AS cc
+             |  FROM (SELECT list_id, list(c ORDER BY pos) AS cvec
+             |        FROM m1 GROUP BY list_id)),
+             |asg2 AS (SELECT vec_id, vec, vv, list_id FROM (
+             |    SELECT f.vec_id, f.vec, f.vv, c.list_id,
+             |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             |        ORDER BY f.vv + c.cc - 2*list_dot_product(f.vec, c.cvec),
+             |                 c.list_id) AS rn
+             |    FROM fit f CROSS JOIN cent1 c) WHERE rn = 1),
+             |m2 AS (SELECT list_id, pos,
+             |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+             |      / 1e8 / COUNT(*) AS c
+             |  FROM (SELECT list_id, generate_subscripts(vec, 1) AS pos,
+             |          unnest(vec) AS x FROM asg2)
+             |  GROUP BY list_id, pos),
+             |cent2 AS (SELECT list_id, cvec, list_dot_product(cvec, cvec) AS cc
+             |  FROM (SELECT list_id, list(c ORDER BY pos) AS cvec
+             |        FROM m2 GROUP BY list_id)),
+             |probes AS (SELECT query_id, qvec, qvv, list_id FROM (
+             |    SELECT q.vec_id AS query_id, q.vec AS qvec, q.vv AS qvv,
+             |      c.list_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |        ORDER BY q.vv + c.cc - 2*list_dot_product(q.vec, c.cvec),
+             |                 c.list_id) AS rn
+             |    FROM (SELECT * FROM vv WHERE vec_id < 5) q
+             |    CROSS JOIN cent2 c) WHERE rn <= 4),
+             |cand AS (SELECT neighbor_id, cvec, cvv, list_id FROM (
+             |    SELECT x.vec_id AS neighbor_id, x.vec AS cvec, x.vv AS cvv,
+             |      c.list_id,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             |        ORDER BY x.vv + c.cc - 2*list_dot_product(x.vec, c.cvec),
+             |                 c.list_id) AS rn
+             |    FROM (SELECT * FROM vv WHERE vec_id >= 5) x
+             |    CROSS JOIN cent2 c) WHERE rn = 1),
+             |r AS (SELECT query_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             |      list_dot_product(qvec, cvec) / (sqrt(qvv) * sqrt(cvv)) DESC,
+             |      neighbor_id) AS rank
+             |  FROM probes p JOIN cand c USING (list_id))
+             |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // int8 embedding quantization (the 4× storage step for a corpus-
     // scale embedding table); per-vector scale + checksum + saturation
