@@ -47,4 +47,32 @@ object Chunking {
           col("n_tok").cast("int"))))
       .select("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")
   }
+
+  /** Corpus-wide chunk-level exact dedup (the C4-style "drop any span
+    * seen before" pass, at chunk granularity): every chunk keeps exactly
+    * one owner — the FIRST occurrence in (doc_id, chunk_id) order — and
+    * each document reports how much of it survived:
+    * `(doc_id, n_chunks, n_kept)`.
+    *
+    * Scale shape: the only shuffle is keyed on the chunk's md5
+    * fingerprint carrying `(fp, doc_id, chunk_id)` — the chunk TEXT
+    * never moves (a 128-bit fingerprint stands in for the span, so the
+    * shuffle payload is bytes per chunk, not the corpus itself;
+    * collisions at 2^-64 scale are the accepted C4/RefinedWeb
+    * trade-off). First-wins inside a fingerprint group is a min-struct
+    * aggregate (map-side combining), not a window — no per-fingerprint
+    * sort, and the final per-document rollup combines on doc_id. */
+  def dedupChunksGlobal(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    val ch = chunk(docs, window, stride)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("fp"))
+    val owner = ch.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("first"))
+      .select(col("fp"), col("first.doc_id").as("o_doc"),
+        col("first.chunk_id").as("o_chunk"))
+    ch.join(owner, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("doc_id") === col("o_doc") &&
+          col("chunk_id") === col("o_chunk"), 1L).otherwise(0L)).as("n_kept"))
+  }
 }

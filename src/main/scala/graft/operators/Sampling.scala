@@ -68,6 +68,78 @@ object Sampling {
     stratifiedByHash(df, frac, idCol, seed)
   }
 
+  /** Per-key capped downsampling — "keep at most `k` documents per
+    * source/domain", the standard web-corpus guard against one domain
+    * dominating the mixture. Rows are ranked inside each key by the
+    * deterministic priority `(portableBucket(id, seed), id)` (a
+    * layout-independent pseudo-random order any engine reproduces) and
+    * rows ranked > k are dropped; the rank survives as `cap_rank`.
+    *
+    * Scale shape: a single `Window.partitionBy(key)` serializes each
+    * key's full row set through one task — at 100 TB a hot domain is
+    * exactly the key that breaks. So top-k runs in TWO stages: stage 1
+    * ranks within (key, salt) — `salts` subsets of bounded size — and
+    * keeps ≤ k rows per salt; stage 2 ranks the ≤ salts·k survivors per
+    * key. The global top-k of a union is contained in the union of
+    * per-subset top-k's, so the result is exactly the single-window
+    * answer (asserted in SamplingSpec) while no task ever sees more
+    * than max(n_key/salts, salts·k) rows for one key. */
+  def cappedPerKey(df: DataFrame, keyCol: String, k: Int,
+                   idCol: String = "doc_id", seed: Int = 42,
+                   salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && salts >= 1, s"need k >= 1 and salts >= 1, got k=$k salts=$salts")
+    require(!df.columns.exists(Set("_pri", "_salt", "_r1")),
+      "input already carries a _pri/_salt/_r1 column")
+    val w1 = Window.partitionBy(col(keyCol), col("_salt"))
+      .orderBy(col("_pri"), col(idCol))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col("_pri"), col(idCol))
+    df.withColumn("_pri", portableBucket(col(idCol), seed))
+      .withColumn("_salt", pmod(col(idCol), lit(salts.toLong)))
+      .withColumn("_r1", row_number().over(w1))
+      .where(col("_r1") <= k)
+      .withColumn("cap_rank", row_number().over(w2).cast("long"))
+      .where(col("cap_rank") <= k)
+      .drop("_pri", "_salt", "_r1")
+  }
+
+  /** Top-fraction quality gate without a global sort: keep every row
+    * whose integer `scoreCol` is ≥ the corpus-wide threshold `t`, where
+    * `t` is the LARGEST score such that `count(score ≥ t) · keepDen ≥
+    * total · keepNum` — i.e. keep (at least) the top keepNum/keepDen
+    * fraction, extending through the boundary bucket (ties are never
+    * split, so membership is a pure function of the row's score). When
+    * even the top bucket alone exceeds the target the threshold is that
+    * bucket; when the fraction is ≥ 1 every row passes (threshold falls
+    * to the min score).
+    *
+    * Scale shape: percentiles via `ntile`/`row_number` would globally
+    * sort 100 TB; here the data is only touched by (1) one map-side-
+    * combining aggregate onto the score histogram — score-cardinality
+    * rows, not data-sized — and (2) one broadcast-threshold filter. The
+    * single-partition window runs over the HISTOGRAM only. Integer
+    * cross-multiplication keeps the cut engine-reproducible (no FP
+    * fraction). Appends the threshold as `gate_threshold`. */
+  def topFractionGate(df: DataFrame, scoreCol: Column,
+                      keepNum: Long, keepDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepNum >= 0 && keepDen > 0,
+      s"need keepNum >= 0 and keepDen > 0, got $keepNum/$keepDen")
+    val scored = df.withColumn("_score", scoreCol)
+    val hist = scored.groupBy("_score").agg(count(lit(1)).as("_cnt"))
+    val cum = hist
+      .withColumn("_cum", sum("_cnt").over(
+        Window.orderBy(desc("_score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(hist.agg(sum(col("_cnt")).as("_tot"))))
+    val thr = cum.agg(
+      coalesce(max(when(col("_cum") * keepDen >= col("_tot") * keepNum,
+        col("_score"))), min(col("_score"))).as("gate_threshold"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("_score") >= col("gate_threshold"))
+      .drop("_score")
+  }
+
   /** Corpus mixture resampling: deterministically downsample each stratum
     * toward target mixture `weights` (integer numerators over
     * `weightDen`; e.g. en→4, fr→2 … over 10 = "40% en, 20% fr …" of the

@@ -940,5 +940,88 @@ object LlmQueries {
               |  ${sqlDsum("o_totalprice")} AS spend
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY 1, 2 ORDER BY pseudo_id""".stripMargin)),
+
+    // Per-source cap (web-corpus domain balancing): at most 50 docs per
+    // source, chosen by the deterministic portable-hash priority. The
+    // Spark side runs the skew-safe two-stage (salted) top-k; the oracle
+    // is the plain single-window formulation — equality IS the
+    // correctness claim (and SamplingSpec pins it independently).
+    Q("q_source_cap",
+      (s, dir) => graft.operators.Sampling
+        .cappedPerKey(documents(s, dir), "source", 50)
+        .select("source", "cap_rank", "doc_id")
+        .orderBy("source", "cap_rank"),
+      Some(s"""WITH p AS (SELECT source, doc_id,
+             |    ${Sampling.portableBucketSql("doc_id", 42)} AS pb
+             |  FROM documents),
+             |r AS (SELECT source, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY pb, doc_id)
+             |      AS cap_rank
+             |  FROM p)
+             |SELECT source, CAST(cap_rank AS BIGINT) AS cap_rank, doc_id
+             |FROM r WHERE cap_rank <= 50 ORDER BY source, cap_rank""".stripMargin)),
+
+    // Corpus-wide chunk-level exact dedup: every 40/30-token chunk keeps
+    // its first (doc_id, chunk_id) occurrence; per-document survival
+    // counts. The shuffle carries md5 fingerprints, never chunk text;
+    // the oracle groups by the chunk text itself — same partition of
+    // chunks into groups, so counts must agree.
+    Q("q_chunk_dedup_global",
+      (s, dir) => graft.operators.Chunking
+        .dedupChunksGlobal(documents(s, dir), window = 40, stride = 30)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+             |  FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, len(t) AS n_tok_doc,
+             |    unnest(range(1, 2 + CAST(floor((greatest(len(t)-40, 0)+29)/30) AS BIGINT)))
+             |      AS chunk_id, t
+             |  FROM toks),
+             |ctext AS (
+             |  SELECT doc_id, chunk_id,
+             |    array_to_string(
+             |      t[(1+(chunk_id-1)*30):((chunk_id-1)*30 +
+             |         least(40, n_tok_doc - (chunk_id-1)*30))], ' ') AS chunk_text
+             |  FROM chunks),
+             |r AS (SELECT doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id)
+             |      AS rn
+             |  FROM ctext)
+             |SELECT doc_id, COUNT(*) AS n_chunks,
+             |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Histogram-threshold quality gate: keep (at least) the top-30% of
+    // documents by integer stopword-density score, never splitting a
+    // tied score bucket. No global sort — the percentile comes off a
+    // score histogram (see Sampling.topFractionGate); the integer
+    // cross-multiplied cut makes the threshold engine-reproducible.
+    Q("q_quality_gate",
+      (s, dir) => graft.operators.Sampling.topFractionGate(
+          TextAnalysis.qualityMetrics(documents(s, dir))
+            .withColumn("score",
+              expr("(n_stopwords * 1000) div greatest(n_tokens, 1)")),
+          col("score"), keepNum = 3, keepDen = 10)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_kept"),
+          max(col("gate_threshold")).as("gate_threshold"))
+        .orderBy("lang"),
+      Some("""WITH s AS (SELECT doc_id, lang,
+             |    (len(regexp_extract_all(text, '\b(the|a|of|and|to|is|in)\b')) * 1000)
+             |      // greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS score
+             |  FROM documents),
+             |h AS (SELECT score, COUNT(*) AS cnt FROM s GROUP BY score),
+             |c AS (SELECT score, cnt,
+             |    SUM(cnt) OVER (ORDER BY score DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    (SELECT COUNT(*) FROM s) AS tot
+             |  FROM h),
+             |t AS (SELECT coalesce(
+             |    max(CASE WHEN cum * 10 >= tot * 3 THEN score END),
+             |    min(score)) AS thr FROM c)
+             |SELECT lang, COUNT(*) AS n_kept, CAST(t.thr AS BIGINT) AS gate_threshold
+             |FROM s, t WHERE s.score >= t.thr
+             |GROUP BY lang, t.thr ORDER BY lang""".stripMargin)),
   )
 }

@@ -134,4 +134,61 @@ class CurationSpec extends SparkSpec {
       .select("lang", "n_repetitive").as[(String, Long)].collect().toMap
     assert(out("rep") == 1L && out("div") == 0L)
   }
+
+  test("cappedPerKey: equals the single-window answer, bounded, layout-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "cap_rank", "doc_id")
+        .as[(String, Long, Long)].collect().toSet
+    val two = rows(Sampling.cappedPerKey(d, "source", 7, salts = 4))
+    // the claim: the skew-safe two-stage top-k IS the plain window top-k
+    val one = d
+      .withColumn("cap_rank", row_number().over(
+        Window.partitionBy("source").orderBy(
+          Sampling.portableBucket(col("doc_id"), 42), col("doc_id")))
+        .cast("long"))
+      .where(col("cap_rank") <= 7)
+    assert(two == rows(one) && two.nonEmpty)
+    assert(two == rows(Sampling.cappedPerKey(d.repartition(13), "source", 7, salts = 4)))
+    // bound holds per key; a key smaller than the cap keeps everything
+    val perKey = two.groupBy(_._1).view.mapValues(_.size)
+    assert(perKey.values.forall(_ <= 7))
+    val small = Sampling.cappedPerKey(
+      docs(1L -> "a", 2L -> "b").withColumn("source", lit("s")), "source", 7)
+    assert(small.count() == 2)
+  }
+
+  test("topFractionGate: threshold never splits a tie bucket; fraction honored") {
+    // scores: 9×score-1, 1×score-5, 10×score-3 → hist {5:1, 3:10, 1:9}
+    val d = ((1 to 9).map(i => (i.toLong, 1L)) ++ Seq((10L, 5L)) ++
+      (11 to 20).map(i => (i.toLong, 3L))).toDF("doc_id", "s")
+    // keep top 30% of 20 = 6: score 5 gives cum 1 < 6; score 3 gives cum
+    // 11 ≥ 6 → threshold 3, ALL 11 rows with score ≥ 3 kept (tie bucket
+    // never split)
+    val kept = Sampling.topFractionGate(d, col("s"), 3, 10)
+    assert(kept.count() == 11)
+    assert(kept.select("gate_threshold").distinct().as[Long].collect().toSeq == Seq(3L))
+    // fraction ≥ 1 keeps every row, threshold falls to the min score
+    assert(Sampling.topFractionGate(d, col("s"), 1, 1).count() == 20)
+    // empty input → empty output, no NPE
+    assert(Sampling.topFractionGate(d.where(lit(false)), col("s"), 3, 10).count() == 0)
+  }
+
+  test("dedupChunksGlobal: first occurrence owns; total kept = distinct chunks") {
+    val text = (1 to 40).map(i => s"t$i").mkString(" ")
+    val d = docs(1L -> text, 2L -> text, 3L -> "unique words only here")
+    val out = Chunking.dedupChunksGlobal(d, 40, 30)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 and 2 are byte-identical single chunks: doc 1 keeps, doc 2 drops
+    assert(out(1L) == ((1L, 1L)) && out(2L) == ((1L, 0L)) && out(3L) == ((1L, 1L)))
+    // corpus-level conservation: Σ n_kept = # distinct chunk texts
+    val full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Chunking.dedupChunksGlobal(full, 40, 30)
+    val kept = got.agg(sum("n_kept")).as[Long].head()
+    val distinctChunks =
+      Chunking.chunk(full, 40, 30).select("chunk_text").distinct().count()
+    assert(kept == distinctChunks)
+    assert(got.where(col("n_kept") > col("n_chunks")).count() == 0)
+  }
 }
