@@ -140,6 +140,56 @@ object Sampling {
       .drop("_score")
   }
 
+  /** Token-budget selection — "take documents, in deterministic
+    * pseudo-random priority order, until each language has `budget`
+    * tokens" (the data-mixing step that subsamples a source to its token
+    * quota). A document is kept iff the tokens BEFORE it in its
+    * stratum's (portableBucket(id, seed), id) order total < budget, so
+    * the kept set is a prefix of the priority order: the first document
+    * crossing the budget line is included (quota reached, never
+    * undershot), everything after it drops.
+    *
+    * Scale shape: the naive formulation is a running-sum window
+    * partitioned by stratum alone — ~5 partitions, each sorting its
+    * whole corpus in one task (the [[Packing.assignPacks]] scale-killer).
+    * Here the window key is the COMPOSITE (stratum, shard) where shard =
+    * priority·nShards div granularity — shards are contiguous priority
+    * ranges, so cross-shard order is preserved — and each document's
+    * global running total is its local window sum plus a broadcast
+    * per-shard token-total prefix sum (one row per occupied (stratum,
+    * shard): dimension-sized, same contract as
+    * [[Packing.assignPacksSharded]]'s offsets). Results are identical to
+    * the single-window form (asserted in CurationSpec) on any layout.
+    *
+    * Returns (idCol, stratumCol, n_tokens, cum_before) for kept rows. */
+  def selectToTokenBudget(docs: DataFrame, budget: Long,
+                          stratumCol: String = "lang",
+                          idCol: String = "doc_id", seed: Int = 42,
+                          nShards: Int = 32,
+                          granularity: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0 && nShards >= 1, s"need budget >= 0 and nShards >= 1")
+    val local = docs.select(col(idCol), col(stratumCol),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("_pb", portableBucket(col(idCol), seed, granularity))
+      .withColumn("_shard", expr(s"(_pb * $nShards) div $granularity"))
+    val w = Window.partitionBy(col(stratumCol), col("_shard"))
+      .orderBy("_pb", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wo = Window.partitionBy(col(stratumCol)).orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(stratumCol), col("_shard"))
+      .agg(sum("n_tokens").as("_tot"))
+      .withColumn("_off", coalesce(sum("_tot").over(wo), lit(0L)))
+      .select(col(stratumCol), col("_shard"), col("_off"))
+    local
+      .withColumn("_cum_local", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .join(broadcast(offsets), Seq(stratumCol, "_shard"))
+      .withColumn("cum_before", col("_off") + col("_cum_local"))
+      .where(col("cum_before") < budget)
+      .select(col(idCol), col(stratumCol), col("n_tokens"), col("cum_before"))
+  }
+
   /** Corpus mixture resampling: deterministically downsample each stratum
     * toward target mixture `weights` (integer numerators over
     * `weightDen`; e.g. en→4, fr→2 … over 10 = "40% en, 20% fr …" of the

@@ -1023,5 +1023,29 @@ object LlmQueries {
              |SELECT lang, COUNT(*) AS n_kept, CAST(t.thr AS BIGINT) AS gate_threshold
              |FROM s, t WHERE s.score >= t.thr
              |GROUP BY lang, t.thr ORDER BY lang""".stripMargin)),
+
+    // Per-language token-budget subsampling: take docs in deterministic
+    // portable-hash priority order until each lang holds 2000 tokens
+    // (the crossing doc is included). The Spark side runs the sharded
+    // composite-window + broadcast prefix-sum shape (window parallelism
+    // grows with the corpus); the oracle is the plain single-window
+    // running sum — equality is the correctness claim.
+    Q("q_token_budget_select",
+      (s, dir) => graft.operators.Sampling
+        .selectToTokenBudget(documents(s, dir), budget = 2000L)
+        .orderBy("lang", "doc_id"),
+      Some(s"""WITH p AS (SELECT doc_id, lang,
+             |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             |    ${Sampling.portableBucketSql("doc_id", 42)} AS pb
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang, n_tokens,
+             |    coalesce(SUM(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY pb, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum_before
+             |  FROM p)
+             |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(cum_before AS BIGINT) AS cum_before
+             |FROM c WHERE cum_before < 2000 ORDER BY lang, doc_id""".stripMargin)),
   )
 }

@@ -175,6 +175,35 @@ class CurationSpec extends SparkSpec {
     assert(Sampling.topFractionGate(d.where(lit(false)), col("s"), 3, 10).count() == 0)
   }
 
+  test("selectToTokenBudget: sharded == single-window; quota reached, never undershot") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "n_tokens", "cum_before")
+        .as[(Long, String, Long, Long)].collect().toSet
+    val got = rows(Sampling.selectToTokenBudget(d, 500L))
+    // the claim: the sharded composite-window shape IS the plain
+    // stratum-window running-sum prefix
+    val ref = d.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        Sampling.portableBucket(col("doc_id"), 42).as("pb"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(
+        Window.partitionBy("lang").orderBy("pb", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("cum_before") < 500L)
+      .select("doc_id", "lang", "n_tokens", "cum_before")
+    assert(got == rows(ref) && got.nonEmpty)
+    assert(got == rows(Sampling.selectToTokenBudget(d.repartition(13), 500L)))
+    // every stratum with >= budget tokens available reaches its quota
+    val totals = d.groupBy("lang")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("avail"))
+      .as[(String, Long)].collect().toMap
+    val keptTok = got.groupBy(_._2).view.mapValues(_.toSeq.map(_._3).sum)
+    for ((lang, avail) <- totals)
+      if (avail >= 500L) assert(keptTok(lang) >= 500L, s"$lang undershot")
+      else assert(keptTok(lang) == avail, s"$lang should keep everything")
+  }
+
   test("dedupChunksGlobal: first occurrence owns; total kept = distinct chunks") {
     val text = (1 to 40).map(i => s"t$i").mkString(" ")
     val d = docs(1L -> text, 2L -> text, 3L -> "unique words only here")
