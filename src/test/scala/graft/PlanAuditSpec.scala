@@ -157,6 +157,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("q_source_cap: stage-1 window partitions on (source, salt)") {
+    val plan = executed("q_source_cap")
+    // the first top-k window must run on the salted composite key so a
+    // hot domain spreads over `salts` tasks; only the bounded stage-2
+    // window (≤ salts·k rows per key) partitions on source alone
+    assert("hashpartitioning\\(source[^)]*_salt".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+  }
+
+  test("q_token_budget_select: sharded window key, broadcast offsets") {
+    val plan = executed("q_token_budget_select")
+    // corpus running-sum window on the composite (lang, shard) key;
+    // shard-offset prefix sums join back dimension-sized via broadcast
+    assert("hashpartitioning\\(lang[^)]*_shard".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("q_quality_gate: single-partition windows only over the histogram") {
+    val plan = executed("q_quality_gate")
+    // the cum-count window and threshold aggregate run over the SCORE
+    // HISTOGRAM (score-cardinality rows), never the corpus: the corpus
+    // is touched by one partial/final histogram aggregate and one
+    // broadcast-threshold filter
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1500))
+    val dataWindows = "hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    assert(dataWindows == 0, s"corpus-keyed exchange found:\n${plan.take(1500)}")
+  }
+
   test("flagship standings: the only unpartitioned window is the bounded rank") {
     // team cardinality bounds the single-partition rank; anything else
     // funneling to one partition is a regression
