@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Bloom-filter decontamination: the broadcast-filter variant of
+  * [[Decontaminate]] for when even the EVAL n-gram set is too large to
+  * ship as a broadcast hash join side (a full benchmark suite can reach
+  * 10⁸ n-grams ≈ GBs of strings; its bloom filter is `m` BITS — MBs).
+  * Every corpus n-gram is tested against the filter map-side inside the
+  * scan stage; the exact string join runs only on the bloom-positive
+  * survivors (no false negatives, so nothing is missed — the join side
+  * shrinks by the true-negative rate, which at corpus scale is ~all of
+  * it).
+  *
+  * The filter is PORTABLE arithmetic end-to-end, so the DuckDB oracle
+  * rebuilds the identical filter and replays membership bit-for-bit:
+  *  - string hash = unsigned low-32 Java `String.hashCode` (the wrapping
+  *    ×31 fold any engine can express; same base hash as
+  *    [[Dedup]]'s tokenHash oracle),
+  *  - k probe positions by double hashing: `(h1 + j·h2) mod m` with
+  *    `h1 = u32 mod m`, `h2 = 1 + (u32 div m) mod (m−1)`,
+  *  - the bit array is the distinct probe-position set of the eval
+  *    n-grams — at most `m` values collected to the driver (the size of
+  *    the filter itself, a constant independent of data volume) and
+  *    re-broadcast as one array<long> literal evaluated inside codegen.
+  */
+object BloomFilter {
+
+  /** Unsigned low-32 Java String.hashCode — genuinely loop-shaped (one
+    * wrapping multiply per char), same implementation family as the
+    * minhash/simhash token hashes. */
+  private val u32 = udf { (s: String) => s.hashCode.toLong & 0xffffffffL }
+
+  private def withProbes(grams: DataFrame, m: Int): DataFrame =
+    grams.withColumn("_h", u32(col("gram")))
+      .withColumn("_h1", pmod(col("_h"), lit(m.toLong)))
+      .withColumn("_h2", lit(1L) + pmod(expr(s"_h div $m"), lit(m - 1L)))
+
+  /** Build the `m`-bit filter over a gram column: distinct probe
+    * positions of every gram, packed into m/64 longs. */
+  def buildBits(grams: DataFrame, m: Int, k: Int): Array[Long] = {
+    require(m % 64 == 0 && m >= 64, s"m must be a positive multiple of 64, got $m")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pos = withProbes(grams, m)
+      .select(explode(array((0 until k).map(j =>
+        pmod(col("_h1") + col("_h2") * j, lit(m.toLong))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](m / 64)
+    pos.foreach(p => words(p.toInt >> 6) |= 1L << (p.toInt & 63))
+    words
+  }
+
+  /** All-k-bits-set membership test against the broadcast literal words. */
+  private def hit(words: Array[Long], m: Int, k: Int): Column =
+    (0 until k).map { j =>
+      expr(s"(shiftright(element_at(_bw, " +
+        s"CAST(((_h1 + $j * _h2) % $m) div 64 AS INT) + 1), " +
+        s"CAST(pmod((_h1 + $j * _h2) % $m, 64) AS INT)) & 1) = 1")
+    }.reduce(_ && _)
+
+  /** Per-language contamination report:
+    * `(lang, n_docs_flagged, n_bloom_grams, n_true_grams)` — documents
+    * with ≥ 1 bloom-positive n-gram, bloom-positive (doc, gram) pairs,
+    * and how many of those survive the exact match (bloom ≥ true; the
+    * gap is the measured false-positive mass). */
+  def decontaminateReport(train: DataFrame, bench: DataFrame, n: Int,
+                          m: Int = 4096, k: Int = 3): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextAnalysis.wordNgrams(col("text"), n)).as("gram"))
+      .distinct()
+    val words = buildBits(benchGrams, m, k)
+    val bloomHits = withProbes(
+      train.select(col("doc_id"), col("lang"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
+          .as("gram")), m)
+      .withColumn("_bw", typedLit(words.toSeq))
+      .where(hit(words, m, k))
+      .select("doc_id", "lang", "gram")
+    val bloomAgg = bloomHits.groupBy("lang").agg(
+      countDistinct("doc_id").as("n_docs_flagged"),
+      count(lit(1)).as("n_bloom_grams"))
+    val trueAgg = bloomHits.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("lang").agg(count(lit(1)).as("n_true_grams"))
+    bloomAgg.join(trueAgg, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_true_grams"))
+  }
+}

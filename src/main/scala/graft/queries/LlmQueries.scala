@@ -1047,5 +1047,56 @@ object LlmQueries {
              |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
              |  CAST(cum_before AS BIGINT) AS cum_before
              |FROM c WHERE cum_before < 2000 ORDER BY lang, doc_id""".stripMargin)),
+
+    // Bloom-filter decontamination: the eval set ships as an m-bit
+    // portable bloom (not a gram-string join side); the corpus tests
+    // membership map-side and the exact join runs only on survivors.
+    // Every bit of the filter is reproducible arithmetic (u32
+    // String.hashCode fold + double hashing), so the oracle REBUILDS the
+    // filter as a distinct-position set and replays membership —
+    // including false positives — exactly. Same bench/train split as
+    // q_decontaminate_ngram (portable bucket 7 < 200).
+    Q("q_bloom_decontaminate",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val isBench = Sampling.portableBucket(col("doc_id"), 7) < 200
+        graft.operators.BloomFilter
+          .decontaminateReport(docs.where(!isBench), docs.where(isBench), n = 3)
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, lang, ${Sampling.portableBucketSql("doc_id", 7)} AS bb,
+             |    regexp_split_to_array(trim(text), '\\s+') AS t
+             |  FROM documents),
+             |grams AS (SELECT DISTINCT doc_id, lang, bb, gram FROM (
+             |  SELECT doc_id, lang, bb,
+             |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+             |      i -> array_to_string(t[i:i+2], ' '))) AS gram
+             |  FROM toks)),
+             |hc AS (SELECT doc_id, lang, bb, gram,
+             |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             |      list_transform(regexp_extract_all(gram, '(?s).'),
+             |        c -> CAST(unicode(c) AS HUGEINT))),
+             |      (h, c) -> (h * 31 + c) % 4294967296) AS u32
+             |  FROM grams),
+             |hp AS (SELECT doc_id, lang, bb, gram, u32 % 4096 AS h1,
+             |    1 + (u32 // 4096) % 4095 AS h2
+             |  FROM hc),
+             |evpos AS (SELECT DISTINCT (h1 + j*h2) % 4096 AS p
+             |  FROM hp, range(3) r(j) WHERE bb < 200),
+             |tp AS (SELECT doc_id, lang, gram, (h1 + j*h2) % 4096 AS p
+             |  FROM hp, range(3) r(j) WHERE bb >= 200),
+             |hits AS (SELECT doc_id, lang, gram FROM tp JOIN evpos USING (p)
+             |  GROUP BY doc_id, lang, gram HAVING COUNT(*) = 3),
+             |ev AS (SELECT DISTINCT gram FROM grams WHERE bb < 200),
+             |bagg AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs_flagged,
+             |    COUNT(*) AS n_bloom_grams
+             |  FROM hits GROUP BY lang),
+             |tr AS (SELECT h.lang, COUNT(*) AS n_true FROM hits h
+             |  JOIN ev USING (gram) GROUP BY h.lang)
+             |SELECT b.lang, CAST(b.n_docs_flagged AS BIGINT) AS n_docs_flagged,
+             |  CAST(b.n_bloom_grams AS BIGINT) AS n_bloom_grams,
+             |  CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true_grams
+             |FROM bagg b LEFT JOIN tr t USING (lang) ORDER BY lang""".stripMargin)),
   )
 }

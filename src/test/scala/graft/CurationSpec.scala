@@ -204,6 +204,34 @@ class CurationSpec extends SparkSpec {
       else assert(keptTok(lang) == avail, s"$lang should keep everything")
   }
 
+  test("bloom decontamination: no false negatives vs the exact join; FP mass visible") {
+    import graft.operators.BloomFilter
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isBench = Sampling.portableBucket(col("doc_id"), 7) < 2000 // ~20%
+    val (train, bench) = (d.where(!isBench), d.where(isBench))
+    val rep = BloomFilter.decontaminateReport(train, bench, n = 3)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rep.nonEmpty)
+    // bloom can only over-report: per lang, bloom grams >= true grams
+    rep.foreach { case (lang, nd, nb, nt) =>
+      assert(nb >= nt && nd >= 1, s"$lang: bloom=$nb true=$nt docs=$nd")
+    }
+    // no false negatives: the exact operator's true matches are all there
+    // (per-lang true-gram totals equal the exact join's overlap counts)
+    val exact = Decontaminate.overlapReport(train, bench, n = 3)
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(sum("n_shared").as("n"))
+      .as[(String, Long)].collect().toMap
+    val bloomTrue = rep.map(r => r._1 -> r._4).toMap
+    assert(bloomTrue == exact,
+      s"bloom true-gram counts $bloomTrue != exact $exact")
+    // layout-independent
+    val rep2 = BloomFilter
+      .decontaminateReport(train.repartition(13), bench.coalesce(1), n = 3)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rep.toSet == rep2.toSet)
+  }
+
   test("dedupChunksGlobal: first occurrence owns; total kept = distinct chunks") {
     val text = (1 to 40).map(i => s"t$i").mkString(" ")
     val d = docs(1L -> text, 2L -> text, 3L -> "unique words only here")
