@@ -48,6 +48,57 @@ object Chunking {
       .select("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")
   }
 
+  /** Content-defined chunking: chunk boundaries are placed where a
+    * token's content hash satisfies `hash mod divisor == 0`, so the SAME
+    * spans re-emerge after upstream edits — insert one token into a
+    * document and only the chunk containing it changes, while
+    * fixed-window chunking ([[chunk]]) shifts every subsequent boundary.
+    * That stability is what makes CDC chunks the right dedup unit for
+    * incrementally-recrawled corpora (expected chunk length = `divisor`
+    * tokens; no min/max clamp — kept to the pure content rule so the
+    * boundary set is a function of content alone).
+    *
+    * Entirely per-row column expressions — the token hash is the same
+    * unsigned-low-32 `×31` fold the bloom filter uses, evaluated as a
+    * nested higher-order aggregate (no UDF), and chunks materialize via
+    * slice between consecutive boundaries under one explode. No
+    * shuffle; any engine reproduces the boundaries bit-for-bit.
+    *
+    * Returns `(doc_id, chunk_id, start_tok, n_tok, chunk_text)` —
+    * [[chunk]]'s schema; a boundary token ENDS its chunk, a trailing
+    * remainder forms the last chunk, and an empty/whitespace document
+    * is one single-token chunk (same ≥ 1-chunk invariant as [[chunk]]).
+    */
+  def chunkContentDefined(docs: DataFrame, divisor: Int = 16): DataFrame = {
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    // unsigned low-32 Java-style hash fold of one token, as expressions
+    def tokHash(tok: Column): Column =
+      aggregate(split(tok, ""), lit(0L),
+        (h, c) => pmod(h * 31 + ascii(c), lit(4294967296L)))
+    docs
+      .select(col("doc_id"),
+        TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))
+      // 1-based boundary positions: tokens whose hash divides
+      .withColumn("bp",
+        filter(sequence(lit(1), size(col("t"))),
+          i => pmod(tokHash(element_at(col("t"), i)), lit(divisor.toLong)) === 0))
+      // chunk j spans starts[j]..ends[j]; drop the empty trailing span
+      // that appears when the last token is itself a boundary
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("bp"), p => p + 1)))
+      .withColumn("ends", concat(col("bp"), array(size(col("t")))))
+      .select(col("doc_id"), col("t"),
+        posexplode(filter(
+          zip_with(col("starts"), col("ends"), (s, e) => struct(s.as("s"), e.as("e"))),
+          x => x.getField("s") <= x.getField("e"))).as(Seq("cpos", "span")))
+      .withColumn("chunk_id", (col("cpos") + 1).cast("long"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("span.s").cast("long").as("start_tok"),
+        (col("span.e") - col("span.s") + 1).cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("t"), col("span.s"),
+          col("span.e") - col("span.s") + 1)).as("chunk_text"))
+  }
+
   /** Corpus-wide chunk-level exact dedup (the C4-style "drop any span
     * seen before" pass, at chunk granularity): every chunk keeps exactly
     * one owner — the FIRST occurrence in (doc_id, chunk_id) order — and

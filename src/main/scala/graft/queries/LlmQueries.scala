@@ -1098,5 +1098,39 @@ object LlmQueries {
              |  CAST(b.n_bloom_grams AS BIGINT) AS n_bloom_grams,
              |  CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true_grams
              |FROM bagg b LEFT JOIN tr t USING (lang) ORDER BY lang""".stripMargin)),
+
+    // Content-defined chunking: boundaries where the token's portable
+    // hash divides — spans survive upstream edits, unlike fixed-window
+    // offsets (spec-pinned), making them the dedup unit for re-crawled
+    // corpora. Pure expressions, no shuffle; the oracle refolds the
+    // same hash per token and rebuilds every span.
+    Q("q_chunk_cdc",
+      (s, dir) => graft.operators.Chunking
+        .chunkContentDefined(documents(s, dir), divisor = 16)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+             |  FROM documents),
+             |hb AS (
+             |  SELECT doc_id, t,
+             |    list_filter(range(1, len(t)+1),
+             |      i -> list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             |             list_transform(regexp_extract_all(t[i], '(?s).'),
+             |               c -> CAST(unicode(c) AS HUGEINT))),
+             |             (h, c) -> (h * 31 + c) % 4294967296) % 16 = 0) AS bp
+             |  FROM toks),
+             |spans AS (
+             |  SELECT doc_id, t,
+             |    list_prepend(1, list_transform(bp, p -> p + 1)) AS starts,
+             |    list_append(bp, len(t)) AS ends
+             |  FROM hb),
+             |z AS (SELECT doc_id, t, unnest(starts) AS s, unnest(ends) AS e FROM spans),
+             |f AS (SELECT doc_id, t, s, e,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_id
+             |  FROM z WHERE s <= e)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(s AS BIGINT) AS start_tok, CAST(e - s + 1 AS BIGINT) AS n_tok,
+             |  array_to_string(t[s:e], ' ') AS chunk_text
+             |FROM f ORDER BY doc_id, chunk_id""".stripMargin)),
   )
 }

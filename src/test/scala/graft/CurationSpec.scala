@@ -204,6 +204,33 @@ class CurationSpec extends SparkSpec {
       else assert(keptTok(lang) == avail, s"$lang should keep everything")
   }
 
+  test("CDC chunking: edit-stable spans, full coverage, degenerate inputs") {
+    val words = (1 to 200).map(i => s"w${i * 7919 % 997}")
+    val orig = words.mkString(" ")
+    val edited = (words.take(100) :+ "INSERTED").concat(words.drop(100)).mkString(" ")
+    def chunks(text: String) = Chunking
+      .chunkContentDefined(docs(1L -> text), divisor = 16)
+      .select("chunk_text").as[String].collect().toSeq
+    val (a, b) = (chunks(orig), chunks(edited))
+    // coverage: chunks concatenate back to the document
+    assert(a.mkString(" ") == orig && b.mkString(" ") == edited)
+    // content-defined stability: one mid-document insertion disturbs only
+    // the chunk(s) at the edit site — the shared chunk multiset stays
+    // large. Fixed-window chunking shifts EVERY boundary after the edit.
+    val sharedCdc = a.intersect(b).size
+    assert(a.size - sharedCdc <= 2, s"CDC: ${a.size} chunks, only $sharedCdc shared")
+    def fixedChunks(text: String) = Chunking.chunk(docs(1L -> text), 16, 16)
+      .select("chunk_text").as[String].collect().toSeq
+    val (fa, fb) = (fixedChunks(orig), fixedChunks(edited))
+    assert(fa.intersect(fb).size < sharedCdc,
+      "fixed-window chunking should lose more chunks to the same edit")
+    // degenerate inputs keep the >= 1 chunk invariant
+    val deg = Chunking.chunkContentDefined(
+      docs(1L -> "", 2L -> "   ", 3L -> "one"), 16)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(deg == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("bloom decontamination: no false negatives vs the exact join; FP mass visible") {
     import graft.operators.BloomFilter
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
