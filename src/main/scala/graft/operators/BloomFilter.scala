@@ -66,7 +66,7 @@ object BloomFilter {
     * and how many of those survive the exact match (bloom ≥ true; the
     * gap is the measured false-positive mass). */
   def decontaminateReport(train: DataFrame, bench: DataFrame, n: Int,
-                          m: Int = 4096, k: Int = 3): DataFrame = {
+                          m: Int = 65536, k: Int = 3): DataFrame = {
     val benchGrams = bench
       .select(explode(TextAnalysis.wordNgrams(col("text"), n)).as("gram"))
       .distinct()
@@ -78,12 +78,16 @@ object BloomFilter {
       .withColumn("_bw", typedLit(words.toSeq))
       .where(hit(words, m, k))
       .select("doc_id", "lang", "gram")
-    val bloomAgg = bloomHits.groupBy("lang").agg(
-      countDistinct("doc_id").as("n_docs_flagged"),
-      count(lit(1)).as("n_bloom_grams"))
-    val trueAgg = bloomHits.join(broadcast(benchGrams), Seq("gram"))
-      .groupBy("lang").agg(count(lit(1)).as("n_true_grams"))
-    bloomAgg.join(trueAgg, Seq("lang"), "left")
-      .na.fill(0L, Seq("n_true_grams"))
+    // ONE pass over the survivors: the exact-match marker arrives via a
+    // broadcast left join (benchGrams is distinct, so no duplication)
+    // and all three counters aggregate together — materializing
+    // bloomHits once per consumer would re-run the corpus scan+filter.
+    bloomHits
+      .join(broadcast(benchGrams.withColumn("_in_bench", lit(1L))),
+        Seq("gram"), "left")
+      .groupBy("lang").agg(
+        countDistinct("doc_id").as("n_docs_flagged"),
+        count(lit(1)).as("n_bloom_grams"),
+        sum(coalesce(col("_in_bench"), lit(0L))).as("n_true_grams"))
   }
 }

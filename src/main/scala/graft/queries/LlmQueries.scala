@@ -1079,12 +1079,12 @@ object LlmQueries {
              |        c -> CAST(unicode(c) AS HUGEINT))),
              |      (h, c) -> (h * 31 + c) % 4294967296) AS u32
              |  FROM grams),
-             |hp AS (SELECT doc_id, lang, bb, gram, u32 % 4096 AS h1,
-             |    1 + (u32 // 4096) % 4095 AS h2
+             |hp AS (SELECT doc_id, lang, bb, gram, u32 % 65536 AS h1,
+             |    1 + (u32 // 65536) % 65535 AS h2
              |  FROM hc),
-             |evpos AS (SELECT DISTINCT (h1 + j*h2) % 4096 AS p
+             |evpos AS (SELECT DISTINCT (h1 + j*h2) % 65536 AS p
              |  FROM hp, range(3) r(j) WHERE bb < 200),
-             |tp AS (SELECT doc_id, lang, gram, (h1 + j*h2) % 4096 AS p
+             |tp AS (SELECT doc_id, lang, gram, (h1 + j*h2) % 65536 AS p
              |  FROM hp, range(3) r(j) WHERE bb >= 200),
              |hits AS (SELECT doc_id, lang, gram FROM tp JOIN evpos USING (p)
              |  GROUP BY doc_id, lang, gram HAVING COUNT(*) = 3),
