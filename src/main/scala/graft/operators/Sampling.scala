@@ -89,8 +89,8 @@ object Sampling {
                    salts: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && salts >= 1, s"need k >= 1 and salts >= 1, got k=$k salts=$salts")
-    require(!df.columns.exists(Set("_pri", "_salt", "_r1")),
-      "input already carries a _pri/_salt/_r1 column")
+    require(!df.columns.exists(Set("_pri", "_salt", "_r1", "cap_rank")),
+      "input already carries a _pri/_salt/_r1/cap_rank column")
     val w1 = Window.partitionBy(col(keyCol), col("_salt"))
       .orderBy(col("_pri"), col(idCol))
     val w2 = Window.partitionBy(col(keyCol)).orderBy(col("_pri"), col(idCol))
@@ -125,6 +125,8 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(keepNum >= 0 && keepDen > 0,
       s"need keepNum >= 0 and keepDen > 0, got $keepNum/$keepDen")
+    require(!df.columns.exists(Set("_score", "gate_threshold")),
+      "input already carries a _score/gate_threshold column")
     val scored = df.withColumn("_score", scoreCol)
     val hist = scored.groupBy("_score").agg(count(lit(1)).as("_cnt"))
     val cum = hist
