@@ -168,11 +168,16 @@ object Sampling {
                           stratumCol: String = "lang",
                           idCol: String = "doc_id", seed: Int = 42,
                           nShards: Int = 32,
-                          granularity: Int = 10000): DataFrame = {
+                          granularity: Int = 10000,
+                          tokens: Column = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 0 && nShards >= 1, s"need budget >= 0 and nShards >= 1")
+    // default token source: count the text column; pipelines that already
+    // carry a token count pass it instead and the text never re-tokenizes
+    val tok = Option(tokens)
+      .getOrElse(graft.functions.TextAnalysis.tokenCount(col("text")))
     val local = docs.select(col(idCol), col(stratumCol),
-        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        tok.as("n_tokens"))
       .withColumn("_pb", portableBucket(col(idCol), seed, granularity))
       .withColumn("_shard", expr(s"(_pb * $nShards) div $granularity"))
     val w = Window.partitionBy(col(stratumCol), col("_shard"))

@@ -1132,5 +1132,106 @@ object LlmQueries {
              |  CAST(s AS BIGINT) AS start_tok, CAST(e - s + 1 AS BIGINT) AS n_tok,
              |  array_to_string(t[s:e], ' ') AS chunk_text
              |FROM f ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // End-to-end NEAR-dedup prune (the near-dup sibling of
+    // q_dedup_prune): exact-Jaccard pairs → connected components → the
+    // cluster's min doc survives; per-cluster kept/removed token mass.
+    // Same 'de' scope as q_dedup_clusters (the shared-vocab corpus's
+    // full pair graph is pathologically dense — the scope verifies the
+    // algorithm, not GC endurance).
+    Q("q_neardup_prune",
+      (s, dir) => {
+        val scoped = documents(s, dir).where(col("lang") === "de")
+        Dedup.duplicateClusters(Dedup.jaccardPairs(scoped, 0.9), scoped)
+          .join(scoped.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")), "doc_id")
+          .groupBy("cluster_id").agg(
+            count(lit(1)).as("n_members"),
+            sum(when(col("doc_id") === col("cluster_id"), col("n_tokens"))
+              .otherwise(0L)).as("tokens_kept"),
+            sum(when(col("doc_id") =!= col("cluster_id"), col("n_tokens"))
+              .otherwise(0L)).as("tokens_removed"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, lang,
+             |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             |  FROM documents WHERE lang = 'de'),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |    AND len(a.toks) >= len(b.toks) * 0.9 AND len(b.toks) >= len(a.toks) * 0.9
+             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9),
+             |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+             |  UNION ALL SELECT doc_b, doc_a FROM p),
+             |reach AS (
+             |  SELECT src AS doc, dst AS other FROM e
+             |  UNION
+             |  SELECT r.doc, e.dst FROM reach r JOIN e ON r.other = e.src),
+             |cl AS (SELECT d.doc_id, d.n_tokens,
+             |    LEAST(d.doc_id, COALESCE(MIN(r.other), d.doc_id)) AS cluster_id
+             |  FROM t d LEFT JOIN reach r ON r.doc = d.doc_id
+             |  GROUP BY d.doc_id, d.n_tokens)
+             |SELECT cluster_id, COUNT(*) AS n_members,
+             |  CAST(SUM(CASE WHEN doc_id = cluster_id THEN n_tokens ELSE 0 END) AS BIGINT)
+             |    AS tokens_kept,
+             |  CAST(SUM(CASE WHEN doc_id <> cluster_id THEN n_tokens ELSE 0 END) AS BIGINT)
+             |    AS tokens_removed
+             |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+
+    // Composed curation pipeline over the r7 operators, ONE lazy plan:
+    // top-30% quality gate → ≤ 40 docs per source → 1500-token
+    // per-language budget. Each stage's scale shape survives composition
+    // (histogram gate broadcast, salted two-stage cap, sharded budget
+    // prefix sums); the oracle chains all three stages' CTEs.
+    Q("q_pipeline_curate",
+      (s, dir) => {
+        val scored = TextAnalysis.qualityMetrics(documents(s, dir))
+          .withColumn("score",
+            expr("(n_stopwords * 1000) div greatest(n_tokens, 1)"))
+        val gated = graft.operators.Sampling
+          .topFractionGate(scored, col("score"), keepNum = 3, keepDen = 10)
+          .select("doc_id", "lang", "source", "n_tokens")
+        val capped = graft.operators.Sampling
+          .cappedPerKey(gated, "source", 40)
+        graft.operators.Sampling
+          .selectToTokenBudget(capped, budget = 1500L,
+            tokens = col("n_tokens")) // already counted by the gate stage
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH sc AS (SELECT doc_id, lang, source,
+             |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             |    (len(regexp_extract_all(text, '\\b(the|a|of|and|to|is|in)\\b')) * 1000)
+             |      // greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS score
+             |  FROM documents),
+             |h AS (SELECT score, COUNT(*) AS cnt FROM sc GROUP BY score),
+             |c AS (SELECT score,
+             |    SUM(cnt) OVER (ORDER BY score DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    (SELECT COUNT(*) FROM sc) AS tot
+             |  FROM h),
+             |thr AS (SELECT coalesce(
+             |    max(CASE WHEN cum * 10 >= tot * 3 THEN score END),
+             |    min(score)) AS t FROM c),
+             |gated AS (SELECT sc.* FROM sc, thr WHERE sc.score >= thr.t),
+             |capped AS (SELECT * FROM (
+             |    SELECT g.*, ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY ${Sampling.portableBucketSql("doc_id", 42)}, doc_id)
+             |      AS cap_rank
+             |    FROM gated g) WHERE cap_rank <= 40),
+             |budget AS (SELECT doc_id, lang, n_tokens,
+             |    coalesce(SUM(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY ${Sampling.portableBucketSql("doc_id", 42)}, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum_before
+             |  FROM capped)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+             |FROM budget WHERE cum_before < 1500
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }
