@@ -126,6 +126,41 @@ object TextAnalysis {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Per-document language-model quality score — the CCNet-style
+    * "perplexity filter" signal, re-expressed in exact integer
+    * arithmetic so it is reproducible on any engine: a bigram MLE is
+    * trained on the corpus itself (c2(w1,w2) bigram counts over c1(w1)
+    * token counts) and each document scores the integerized mean
+    * conditional probability of its bigrams —
+    * `lm_score = (Σ floor(1e8·c2/c1)) div n_bigrams` (no `ln`, no
+    * floating point anywhere: libm is the repo's known cross-engine
+    * parity hazard, and the ranking is the same monotone signal).
+    * Fluent/common word sequences score high; incoherent or
+    * out-of-distribution documents score low. Documents with < 2 tokens
+    * have no bigrams and are absent from the output.
+    *
+    * Scale shape: the "training" is two counting aggregates with
+    * map-side combine (bigram- and vocab-cardinality results, NEVER
+    * collected); scoring re-joins the corpus bigram stream to the BIGRAM
+    * count table on its key (sort-merge at corpus scale — the bigram
+    * vocabulary grows ~quadratically and cannot broadcast) while the
+    * UNIGRAM table is vocab-sized and ships broadcast (the CCNet
+    * asymmetry), then aggregates per doc — one pipeline, no iteration, no driver state. Overflow-safe to
+    * ~10¹⁴ training tokens (c2·1e8 < 2⁶³). */
+  def bigramLmScores(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), col("lang"),
+        explode(wordNgrams(col("text"), 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    bg.join(c2, "bigram").join(broadcast(c1), col("w1") === col("w"))
+      .withColumn("s", expr("(c2 * 100000000) div c1"))
+      .groupBy("doc_id", "lang").agg(
+        count(lit(1)).as("n_bigrams"), sum("s").as("s_sum"))
+      .withColumn("lm_score", expr("s_sum div n_bigrams"))
+  }
+
   /** 64-bit polynomial rolling hash of the normalized text (base 1000003,
     * wrapping Long arithmetic — deterministic across JVMs). A cheap
     * order-sensitive fingerprint, unlike the order-insensitive word-set

@@ -1233,5 +1233,34 @@ object LlmQueries {
              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
              |FROM budget WHERE cum_before < 1500
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // CCNet-style LM quality score in exact integer arithmetic: bigram
+    // MLE trained on the corpus itself, each doc scored by the
+    // integerized mean conditional probability of its bigrams (no ln,
+    // no FP — same monotone ranking as perplexity). See
+    // TextAnalysis.bigramLmScores.
+    Q("q_text_lm_score",
+      (s, dir) => TextAnalysis.bigramLmScores(documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_transform(range(1, greatest(len(t), 1)),
+             |      i -> array_to_string(t[i:i+1], ' '))) AS bigram
+             |  FROM toks),
+             |bg2 AS (SELECT doc_id, lang, bigram,
+             |    split_part(bigram, ' ', 1) AS w1 FROM bg),
+             |c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg2 GROUP BY bigram),
+             |c1 AS (SELECT w, COUNT(*) AS c1
+             |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+             |j AS (SELECT doc_id, lang,
+             |    (c2.c2 * 100000000) // c1.c1 AS s
+             |  FROM bg2 JOIN c2 USING (bigram) JOIN c1 ON bg2.w1 = c1.w)
+             |SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(s) AS BIGINT) AS s_sum,
+             |  CAST(SUM(s) AS BIGINT) // COUNT(*) AS lm_score
+             |FROM j GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)),
   )
 }

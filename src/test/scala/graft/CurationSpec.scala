@@ -204,6 +204,28 @@ class CurationSpec extends SparkSpec {
       else assert(keptTok(lang) == avail, s"$lang should keep everything")
   }
 
+  test("bigram LM score ranks fluent sequences above rare ones") {
+    // NOTE an unsmoothed MLE scores a rare bigram over a rare CONTEXT at
+    // p=1 (c2=c1=1) — the discriminating case is common words in a rare
+    // ORDER, which is also what a perplexity filter actually catches
+    val d = (Seq.fill(20)("the cat sat") ++ Seq("cat the sat"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val scores = TextAnalysis.bigramLmScores(d)
+      .select("doc_id", "lm_score").as[(Long, Long)].collect().toMap
+    assert(scores(0L) > scores(20L),
+      s"fluent doc ${scores(0L)} should outrank scrambled ${scores(20L)}")
+    // exact pins: fluent bigrams have c2=20 over c1=21 → s=floor(2e9/21);
+    // scrambled bigrams are singletons over the same contexts → 1e8/21
+    assert(scores(0L) == 95238095L && scores(20L) == 4761904L)
+    // a sub-2-token doc has no bigrams and is absent
+    val withShort = d.union(Seq((99L, "solo")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")))
+    assert(!TextAnalysis.bigramLmScores(withShort)
+      .where(col("doc_id") === 99L).as[(Long, String, Long, Long, Long)]
+      .collect().exists(_ => true))
+  }
+
   test("CDC chunking: edit-stable spans, full coverage, degenerate inputs") {
     val words = (1 to 200).map(i => s"w${i * 7919 % 997}")
     val orig = words.mkString(" ")
