@@ -1262,5 +1262,18 @@ object LlmQueries {
              |  CAST(SUM(s) AS BIGINT) AS s_sum,
              |  CAST(SUM(s) AS BIGINT) // COUNT(*) AS lm_score
              |FROM j GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)),
+
+    // ANALYZE-style table profile: per-column null counts + exact
+    // distinct cardinalities + row count, one aggregation over one scan,
+    // long-format output. See operators/Profiling.
+    Q("q_profile_table",
+      (s, dir) => graft.operators.Profiling.profile(
+          table(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"))
+        .orderBy("col_name"),
+      Some(graft.operators.Profiling.profileSql("orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")))),
   )
 }
