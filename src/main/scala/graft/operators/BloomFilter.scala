@@ -52,8 +52,8 @@ object BloomFilter {
     words
   }
 
-  /** All-k-bits-set membership test against the broadcast literal words. */
-  private def hit(words: Array[Long], m: Int, k: Int): Column =
+  /** All-k-bits-set membership test against the `_bw` literal words. */
+  private def hit(m: Int, k: Int): Column =
     (0 until k).map { j =>
       expr(s"(shiftright(element_at(_bw, " +
         s"CAST(((_h1 + $j * _h2) % $m) div 64 AS INT) + 1), " +
@@ -76,7 +76,7 @@ object BloomFilter {
         explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
           .as("gram")), m)
       .withColumn("_bw", typedLit(words.toSeq))
-      .where(hit(words, m, k))
+      .where(hit(m, k))
       .select("doc_id", "lang", "gram")
     // ONE pass over the survivors: the exact-match marker arrives via a
     // broadcast left join (benchGrams is distinct, so no duplication)
