@@ -294,6 +294,25 @@ object Tables {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Training-shard export — the terminal step of a curation pipeline:
+    * materialize the kept corpus as bounded, globally-ordered parquet
+    * shards a training loader can stream (shard N's keys all precede
+    * shard N+1's; no shard exceeds `recordsPerShard` rows).
+    *
+    * `orderBy` gives the range exchange (a sampled range partitioner —
+    * the scalable global sort); `maxRecordsPerFile` caps each emitted
+    * file without another shuffle. At 100 TB the shard count is
+    * data/recordsPerShard regardless of executor count, and the sort is
+    * the only data-sized movement. */
+  def writeTrainingShards(df: DataFrame, path: String, orderCol: String,
+                          recordsPerShard: Int): Unit = {
+    require(recordsPerShard >= 1, s"recordsPerShard must be >= 1")
+    df.orderBy(orderCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", recordsPerShard.toLong)
+      .parquet(path)
+  }
+
   /** S12 — table existence probe (ex_match_bs.py:452-457; the local
     * `_delta_log` check in to_silver/slvr_match.py:242 becomes an
     * HDFS-API path probe). */
