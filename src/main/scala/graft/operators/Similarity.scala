@@ -171,37 +171,48 @@ object Similarity {
     * sequential folds ([[graft.plans.DotProduct]] ≡ DuckDB
     * `list_dot_product`), ties broken by list_id.
     */
-  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-              nLists: Int = 16, nProbe: Int = 4, iters: Int = 2,
-              maxFitRows: Long = 4096L): DataFrame = {
-    val spark = emb.sparkSession
-    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+  /** (list_id, centroid vector, c·c) with c·c the same sequential fold
+    * the Column-side dot uses. */
+  private def withNorm(cents: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double], Double)] =
+    cents.map { case (id, c) =>
+      var cc = 0.0; var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      (id, c, cc)
+    }
 
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-      .withColumn("vv", ndot(col("vec"), col("vec")))
+  /** Per-centroid (d2, list_id) structs over a frame with (vec, vv)
+    * columns — each centroid appears as one broadcast literal, evaluated
+    * inside whole-stage codegen. d2 = v·v + c·c − 2·(v·c), all ordered
+    * folds. */
+  private def scoredCols(v: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)]): Seq[Column] = {
+    val ndot = graft.plans.DotProduct.dotCol(v.sparkSession, _: Column, _: Column)
+    cents.map { case (id, cv, cc) =>
+      struct((col("vv") + lit(cc) - lit(2.0) *
+        ndot(col("vec"), typedLit(cv.toSeq))).as("d2"), lit(id).as("id"))
+    }
+  }
+
+  /** Nearest-centroid id (argmin over the (d2, id) structs, ties to the
+    * smaller list_id) as a single codegen'd expression. */
+  private def argminCol(v: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)]): Column =
+    array_min(array(scoredCols(v, cents): _*)).getField("id")
+
+  /** The deterministic fixed-iteration Lloyd coarse-quantizer fit shared
+    * by [[ivfTopK]] and [[semDedupSurvivors]] — see the ivfTopK scaladoc
+    * for the full contract (portable-hash fit sample, hash-spread init,
+    * integerized DECIMAL(38,0) centroid means; layout-independent and
+    * engine-reproducible). `v` must carry (vec_id, vec, vv). Returns
+    * (list_id, centroid, c·c); an emptied list drops out (k shrinks).
+    */
+  def lloydFit(v: DataFrame, nLists: Int, iters: Int,
+               maxFitRows: Long): Seq[(Int, Array[Double], Double)] = {
     val n = v.count()
     val fit = v.where(
         Sampling.portableBucket(col("vec_id"), 7) * lit(n) <
           lit(maxFitRows * 10000L))
       .localCheckpoint() // ≤ ~maxFitRows rows; reused every Lloyd round
-
-    /** (list_id, centroid vector, c·c) with c·c the same sequential fold
-      * the Column-side dot uses. */
-    def withNorm(cents: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double], Double)] =
-      cents.map { case (id, c) =>
-        var cc = 0.0; var i = 0
-        while (i < c.length) { cc += c(i) * c(i); i += 1 }
-        (id, c, cc)
-      }
-    /** Per-centroid (d2, list_id) structs — each centroid appears as one
-      * broadcast literal, evaluated inside whole-stage codegen. */
-    def scored(cents: Seq[(Int, Array[Double], Double)]): Seq[Column] =
-      cents.map { case (id, cv, cc) =>
-        struct((col("vv") + lit(cc) - lit(2.0) *
-          ndot(col("vec"), typedLit(cv.toSeq))).as("d2"), lit(id).as("id"))
-      }
-    def argmin(cents: Seq[(Int, Array[Double], Double)]): Column =
-      array_min(array(scored(cents): _*)).getField("id")
 
     val init: Seq[(Int, Array[Double])] = fit
       .withColumn("pb", Sampling.portableBucket(col("vec_id"), 17))
@@ -211,8 +222,8 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](2).toArray) }
 
-    val cents = (1 to iters).foldLeft(withNorm(init)) { case (c, _) =>
-      val rows = fit.withColumn("list_id", argmin(c))
+    (1 to iters).foldLeft(withNorm(init)) { case (c, _) =>
+      val rows = fit.withColumn("list_id", argminCol(fit, c))
         .select(col("list_id"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("list_id", "pos")
         .agg(sum(floor(col("x") * lit(1e8) + lit(0.5))
@@ -226,6 +237,19 @@ object Similarity {
           (id, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
       })
     }
+  }
+
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              maxFitRows: Long = 4096L): DataFrame = {
+    val spark = emb.sparkSession
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val cents = lloydFit(v, nLists, iters, maxFitRows)
+    def scored(c: Seq[(Int, Array[Double], Double)]) = scoredCols(v, c)
+    def argmin(c: Seq[(Int, Array[Double], Double)]) = argminCol(v, c)
 
     // nProbe nearest lists per query: sort the same (d2, id) structs and
     // take a bounded slice — still one codegen'd expression per row.
@@ -298,6 +322,46 @@ object Similarity {
     * the full cross product (the LSH buckets of [[annTopK]] serve the
     * same role when no label exists). Returns (vec_a, vec_b, cos6).
     */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the SAME
+    * deterministic Lloyd coarse quantizer as [[ivfTopK]], compare pairs
+    * only WITHIN a cluster, and prune every vector that has a
+    * near-duplicate (cos ≥ threshold) with a smaller `vec_id` in its
+    * cluster — the smallest id of each near-dup group survives as its
+    * representative. Returns the survivors as (vec_id, list_id).
+    *
+    * Scale shape: the pair comparison is an equi-join on `list_id`,
+    * never a cross product, so per-cluster work is (n/nLists)² — at
+    * corpus scale `nLists` grows with n (the paper runs ~100k clusters
+    * over LAION) to keep cluster sizes, and therefore the quadratic
+    * term, bounded; the quantizer fit itself stays metadata-scale via
+    * the portable-hash sample cap. Like the quantizer, the whole
+    * operator is deterministic pure arithmetic — "approximate" means
+    * near-dups straddling a cluster boundary are missed, not that two
+    * runs disagree — so a DuckDB oracle replays it exactly.
+    */
+  def semDedupSurvivors(emb: DataFrame, threshold: Double,
+                        nLists: Int = 16, iters: Int = 2,
+                        maxFitRows: Long = 4096L): DataFrame = {
+    val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val asg = v.withColumn("list_id", argminCol(v, lloydFit(v, nLists, iters, maxFitRows)))
+    val a = asg.select(col("vec_id").as("vec_a"), col("vec").as("va"),
+      col("vv").as("vva"), col("list_id"))
+    val b = asg.select(col("vec_id").as("vec_b"), col("vec").as("vb"),
+      col("vv").as("vvb"), col("list_id"))
+    // ids-only through the distinct; cos compared UNROUNDED — both
+    // engines build the identical double (ordered folds), so the ≥ is
+    // exact on each side.
+    val pruned = a.join(b, Seq("list_id"))
+      .where(col("vec_a") < col("vec_b") &&
+        ndot(col("va"), col("vb")) / (sqrt(col("vva")) * sqrt(col("vvb")))
+          >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    asg.join(pruned, Seq("vec_id"), "left_anti").select("vec_id", "list_id")
+  }
+
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
     val v = emb.select(col("vec_id"), col("label"),

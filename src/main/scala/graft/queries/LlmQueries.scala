@@ -63,6 +63,60 @@ object LlmQueries {
       |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS u
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** Shared oracle CTE chain replaying [[Similarity.lloydFit]] bit-exact
+    * with the registry parameters (nLists=16, both Lloyd rounds unrolled,
+    * maxFitRows=4096, bucket seeds 7/17): portable-hash fit sample,
+    * hash-spread init, integerized DECIMAL(38,0) centroid means, all dot
+    * products ordered folds (`list_dot_product`). ONE definition
+    * interpolated into BOTH q_embed_ann_ivf and q_embed_semdedup so the
+    * quantizer arithmetic can never drift between them. Regenerate if
+    * either registry call's parameters change. Ends with
+    * `cent2(list_id, cvec, cc)` over base CTE `vv(vec_id, vec, vv)`. */
+  private lazy val lloydOracleCtes: String =
+    s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                     CAST(embedding AS DOUBLE[])) AS vv
+       |  FROM embeddings),
+       |prm AS (SELECT COUNT(*) AS n FROM vv),
+       |fit AS (SELECT vv.* FROM vv, prm
+       |  WHERE ${Sampling.portableBucketSql("vec_id", 7)} * n < ${4096L * 10000L}),
+       |init AS (SELECT vec, vv,
+       |    ROW_NUMBER() OVER (ORDER BY pb, vec_id) - 1 AS list_id
+       |  FROM (SELECT vec_id, vec, vv,
+       |      ${Sampling.portableBucketSql("vec_id", 17)} AS pb
+       |    FROM fit ORDER BY pb, vec_id LIMIT 16)),
+       |cent0 AS (SELECT list_id, vec AS cvec, vv AS cc FROM init),
+       |asg1 AS (SELECT vec_id, vec, vv, list_id FROM (
+       |    SELECT f.vec_id, f.vec, f.vv, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |        ORDER BY f.vv + c.cc - 2*list_dot_product(f.vec, c.cvec),
+       |                 c.list_id) AS rn
+       |    FROM fit f CROSS JOIN cent0 c) WHERE rn = 1),
+       |m1 AS (SELECT list_id, pos,
+       |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+       |      / 1e8 / COUNT(*) AS c
+       |  FROM (SELECT list_id, generate_subscripts(vec, 1) AS pos,
+       |          unnest(vec) AS x FROM asg1)
+       |  GROUP BY list_id, pos),
+       |cent1 AS (SELECT list_id, cvec, list_dot_product(cvec, cvec) AS cc
+       |  FROM (SELECT list_id, list(c ORDER BY pos) AS cvec
+       |        FROM m1 GROUP BY list_id)),
+       |asg2 AS (SELECT vec_id, vec, vv, list_id FROM (
+       |    SELECT f.vec_id, f.vec, f.vv, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |        ORDER BY f.vv + c.cc - 2*list_dot_product(f.vec, c.cvec),
+       |                 c.list_id) AS rn
+       |    FROM fit f CROSS JOIN cent1 c) WHERE rn = 1),
+       |m2 AS (SELECT list_id, pos,
+       |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+       |      / 1e8 / COUNT(*) AS c
+       |  FROM (SELECT list_id, generate_subscripts(vec, 1) AS pos,
+       |          unnest(vec) AS x FROM asg2)
+       |  GROUP BY list_id, pos),
+       |cent2 AS (SELECT list_id, cvec, list_dot_product(cvec, cvec) AS cc
+       |  FROM (SELECT list_id, list(c ORDER BY pos) AS cvec
+       |        FROM m2 GROUP BY list_id))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----- text analysis --------------------------------------------------
@@ -574,49 +628,7 @@ object LlmQueries {
     Q("q_embed_ann_ivf",
       (s, dir) => Similarity.ivfTopK(embeddings(s, dir), 5, 5)
         .orderBy("query_id", "rank"),
-      Some(s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
-             |    list_dot_product(CAST(embedding AS DOUBLE[]),
-             |                     CAST(embedding AS DOUBLE[])) AS vv
-             |  FROM embeddings),
-             |prm AS (SELECT COUNT(*) AS n FROM vv),
-             |fit AS (SELECT vv.* FROM vv, prm
-             |  WHERE ${Sampling.portableBucketSql("vec_id", 7)} * n < ${4096L * 10000L}),
-             |init AS (SELECT vec, vv,
-             |    ROW_NUMBER() OVER (ORDER BY pb, vec_id) - 1 AS list_id
-             |  FROM (SELECT vec_id, vec, vv,
-             |      ${Sampling.portableBucketSql("vec_id", 17)} AS pb
-             |    FROM fit ORDER BY pb, vec_id LIMIT 16)),
-             |cent0 AS (SELECT list_id, vec AS cvec, vv AS cc FROM init),
-             |asg1 AS (SELECT vec_id, vec, vv, list_id FROM (
-             |    SELECT f.vec_id, f.vec, f.vv, c.list_id,
-             |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
-             |        ORDER BY f.vv + c.cc - 2*list_dot_product(f.vec, c.cvec),
-             |                 c.list_id) AS rn
-             |    FROM fit f CROSS JOIN cent0 c) WHERE rn = 1),
-             |m1 AS (SELECT list_id, pos,
-             |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
-             |      / 1e8 / COUNT(*) AS c
-             |  FROM (SELECT list_id, generate_subscripts(vec, 1) AS pos,
-             |          unnest(vec) AS x FROM asg1)
-             |  GROUP BY list_id, pos),
-             |cent1 AS (SELECT list_id, cvec, list_dot_product(cvec, cvec) AS cc
-             |  FROM (SELECT list_id, list(c ORDER BY pos) AS cvec
-             |        FROM m1 GROUP BY list_id)),
-             |asg2 AS (SELECT vec_id, vec, vv, list_id FROM (
-             |    SELECT f.vec_id, f.vec, f.vv, c.list_id,
-             |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
-             |        ORDER BY f.vv + c.cc - 2*list_dot_product(f.vec, c.cvec),
-             |                 c.list_id) AS rn
-             |    FROM fit f CROSS JOIN cent1 c) WHERE rn = 1),
-             |m2 AS (SELECT list_id, pos,
-             |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
-             |      / 1e8 / COUNT(*) AS c
-             |  FROM (SELECT list_id, generate_subscripts(vec, 1) AS pos,
-             |          unnest(vec) AS x FROM asg2)
-             |  GROUP BY list_id, pos),
-             |cent2 AS (SELECT list_id, cvec, list_dot_product(cvec, cvec) AS cc
-             |  FROM (SELECT list_id, list(c ORDER BY pos) AS cvec
-             |        FROM m2 GROUP BY list_id)),
+      Some(s"""WITH $lloydOracleCtes,
              |probes AS (SELECT query_id, qvec, qvv, list_id FROM (
              |    SELECT q.vec_id AS query_id, q.vec AS qvec, q.vv AS qvv,
              |      c.list_id,
@@ -679,6 +691,33 @@ object LlmQueries {
              |    (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))),
              |    6) >= 0.4
              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): Lloyd-cluster the embeddings, then
+    // prune any vector with a smaller-id within-cluster cosine near-dup
+    // (threshold 0.35 — calibrated to the synthetic embeddings, which
+    // top out ≈0.47; prunes 76/500 at sf0.01). The quantizer CTEs are
+    // the SAME text as q_embed_ann_ivf (lloydOracleCtes), and the whole
+    // operator is deterministic arithmetic, so the oracle replays it
+    // exactly: full-corpus nearest-centroid assignment, within-cluster
+    // pair join, NOT IN prune.
+    Q("q_embed_semdedup",
+      (s, dir) => Similarity.semDedupSurvivors(embeddings(s, dir), 0.35)
+        .orderBy("vec_id"),
+      Some(s"""WITH $lloydOracleCtes,
+             |asg AS (SELECT vec_id, vec, vv, list_id FROM (
+             |    SELECT x.vec_id, x.vec, x.vv, c.list_id,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             |        ORDER BY x.vv + c.cc - 2*list_dot_product(x.vec, c.cvec),
+             |                 c.list_id) AS rn
+             |    FROM vv x CROSS JOIN cent2 c) WHERE rn = 1),
+             |pruned AS (SELECT DISTINCT b.vec_id
+             |  FROM asg a JOIN asg b ON a.list_id = b.list_id
+             |    AND a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.vec, b.vec)
+             |      / (sqrt(a.vv) * sqrt(b.vv)) >= 0.35)
+             |SELECT vec_id, CAST(list_id AS INTEGER) AS list_id FROM asg
+             |WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
+             |ORDER BY vec_id""".stripMargin)),
 
     // ----- multimodal -----------------------------------------------------
 

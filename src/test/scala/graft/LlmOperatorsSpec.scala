@@ -187,6 +187,44 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall < 0.6 (${exact.size} truth pairs)")
   }
 
+  test("SemDeDup survivors match a brute-force within-cluster reimplementation") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val t = 0.3
+    val got = Similarity.semDedupSurvivors(emb, t)
+      .as[(Long, Int)].collect().toMap
+
+    // third implementation (plain Scala, no Spark joins): same centroids
+    // from lloydFit, then sequential-fold argmin + all-pairs per cluster
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: org.apache.spark.sql.Column, _: org.apache.spark.sql.Column)
+    val vFrame = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val cents = Similarity.lloydFit(vFrame, 16, 2, 4096L)
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .as[(Long, Seq[Double])].collect()
+    val asg = vecs.map { case (id, vec) =>
+      val n = dot(vec, vec)
+      val cid = cents.map { case (c, cv, cc) =>
+        (n + cc - 2 * dot(vec, cv.toSeq), c) }.min._2
+      (id, cid, vec, n)
+    }
+    val pruned = (for {
+      (ida, ca, va, na) <- asg; (idb, cb, vb, nb) <- asg
+      if ca == cb && ida < idb &&
+        dot(va, vb) / (math.sqrt(na) * math.sqrt(nb)) >= t
+    } yield idb).toSet
+    assert(pruned.nonEmpty, "threshold should prune something at this sf")
+    val want = asg.filterNot(a => pruned(a._1)).map(a => a._1 -> a._2).toMap
+    assert(got === want)
+    // representative property: the smallest vec_id always survives
+    assert(got.contains(vecs.map(_._1).min))
+  }
+
   test("stratified sample: layout-independent, deterministic, near target rates") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
