@@ -1314,5 +1314,26 @@ object LlmQueries {
       Some(graft.operators.Profiling.profileSql("orders",
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority")))),
+
+    // Training-shard assignment: deterministic pseudo-shuffled global
+    // order (portable hash, ties by doc_id) cut into 50-doc shards. The
+    // Spark side computes the global rank scale-safe — composite
+    // (pb, doc_id div 100) window + broadcast prefix-sum offsets, the
+    // Packing shape — while the oracle is the plain single-window
+    // formulation: equality IS the correctness claim (and CurationSpec
+    // pins it independently).
+    Q("q_shard_assign",
+      (s, dir) => graft.operators.Sharding
+        .assignShards(documents(s, dir), 50)
+        .orderBy("train_rank"),
+      Some(s"""WITH p AS (SELECT doc_id,
+             |    ${Sampling.portableBucketSql("doc_id", 42)} AS pb
+             |  FROM documents),
+             |r AS (SELECT doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY pb, doc_id) AS train_rank
+             |  FROM p)
+             |SELECT doc_id, CAST(train_rank AS BIGINT) AS train_rank,
+             |  (CAST(train_rank AS BIGINT) - 1) // 50 AS shard_id
+             |FROM r ORDER BY train_rank""".stripMargin)),
   )
 }

@@ -159,6 +159,32 @@ class CurationSpec extends SparkSpec {
     assert(small.count() == 2)
   }
 
+  test("assignShards: sharded rank == single global window; fixed shard sizes") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "train_rank", "shard_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val sharded = rows(graft.operators.Sharding.assignShards(d, 7, shardWidth = 13))
+    // the claim: composite-window + offsets IS the plain global window
+    val one = d.select(col("doc_id"))
+      .withColumn("train_rank", row_number().over(Window.orderBy(
+        Sampling.portableBucket(col("doc_id"), 42), col("doc_id"))).cast("long"))
+      .withColumn("shard_id", expr("(train_rank - 1) div 7"))
+    assert(sharded == rows(one) && sharded.nonEmpty)
+    // layout independence + shardWidth independence (any W, same answer)
+    assert(sharded == rows(
+      graft.operators.Sharding.assignShards(d.repartition(17), 7, shardWidth = 1000)))
+    // every shard is exactly recordsPerShard docs except the last
+    val n = d.count()
+    val sizes = sharded.groupBy(_._3).view.mapValues(_.size).toMap
+    val last = sizes.keys.max
+    assert(sizes.filter(_._1 != last).values.forall(_ == 7))
+    assert(sizes(last) == (if (n % 7 == 0) 7 else n % 7))
+    // ranks are a permutation of 1..n
+    assert(sharded.map(_._2) == (1L to n).toSet)
+  }
+
   test("topFractionGate: threshold never splits a tie bucket; fraction honored") {
     // scores: 9×score-1, 1×score-5, 10×score-3 → hist {5:1, 3:10, 1:9}
     val d = ((1 to 9).map(i => (i.toLong, 1L)) ++ Seq((10L, 5L)) ++
