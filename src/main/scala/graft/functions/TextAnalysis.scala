@@ -141,12 +141,16 @@ object TextAnalysis {
     *
     * Scale shape: the "training" is two counting aggregates with
     * map-side combine (bigram- and vocab-cardinality results, NEVER
-    * collected); scoring re-joins the corpus bigram stream to the BIGRAM
-    * count table on its key (sort-merge at corpus scale — the bigram
-    * vocabulary grows ~quadratically and cannot broadcast) while the
-    * UNIGRAM table is vocab-sized and ships broadcast (the CCNet
-    * asymmetry), then aggregates per doc — one pipeline, no iteration, no driver state. Overflow-safe to
-    * ~10¹⁴ training tokens (c2·1e8 < 2⁶³). */
+    * collected); scoring re-joins the corpus bigram stream to the
+    * bigram and unigram count tables on their keys, then aggregates per
+    * doc — one pipeline, no iteration, no driver state. Neither count
+    * table carries a broadcast hint: on a real web corpus even the
+    * UNIGRAM vocabulary (typos, URLs, numbers) reaches billions of
+    * rows, so AQE picks broadcast only when the measured size allows
+    * it. Overflow bound: c2·1e8 < 2⁶³ requires every single bigram's
+    * count < ~9.2·10¹⁰ — top bigrams ("of the" ≈ 0.3% of English text)
+    * cross that near ~3·10¹³ training tokens, so beyond ~10¹³ tokens
+    * lower the 1e8 scale factor a decade per decade of corpus. */
   def bigramLmScores(docs: DataFrame): DataFrame = {
     val bg = docs.select(col("doc_id"), col("lang"),
         explode(wordNgrams(col("text"), 2)).as("bigram"))
@@ -154,7 +158,12 @@ object TextAnalysis {
     val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
     val c1 = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    bg.join(c2, "bigram").join(broadcast(c1), col("w1") === col("w"))
+    // no broadcast hint on the unigram table: a real web corpus's token
+    // vocabulary (typos, URLs, numbers) reaches billions of distinct
+    // tokens — far past broadcast size — so the join strategy is left to
+    // AQE, which broadcasts exactly when the measured vocab is small and
+    // falls back to a shuffled hash/sort-merge join on w1 when it isn't
+    bg.join(c2, "bigram").join(c1, col("w1") === col("w"))
       .withColumn("s", expr("(c2 * 100000000) div c1"))
       .groupBy("doc_id", "lang").agg(
         count(lit(1)).as("n_bigrams"), sum("s").as("s_sum"))
@@ -172,8 +181,10 @@ object TextAnalysis {
     * chars ≤ U+0020 —  etc. would diverge) and lowercase ASCII
     * A–Z only (`String.toLowerCase` is locale/Unicode-table dependent;
     * DuckDB's `lower` uses utf8proc — `translate` of the 26 letters is
-    * identical everywhere). Hash runs over UTF-16 code units (==
-    * codepoints for BMP text).
+    * identical everywhere). Hash runs over Unicode CODE POINTS (the
+    * oracle folds `unicode(c)`; folding UTF-16 code units would diverge
+    * on supplementary-plane characters — see
+    * [[graft.functions.PortableHash]]).
     */
   val rollingHash64 = udf { (text: String) =>
     if (text == null) 0L
@@ -186,10 +197,10 @@ object TextAnalysis {
       var h = 1125899906842597L
       var i = from
       while (i < to) {
-        val c0 = text.charAt(i)
-        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
-        h = h * 1000003L + c
-        i += 1
+        val cp0 = text.codePointAt(i)
+        val cp = if (cp0 >= 'A' && cp0 <= 'Z') cp0 + 32 else cp0
+        h = h * 1000003L + cp
+        i += Character.charCount(cp0)
       }
       h
     }

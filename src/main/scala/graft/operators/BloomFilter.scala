@@ -16,8 +16,9 @@ import graft.functions.TextAnalysis
   *
   * The filter is PORTABLE arithmetic end-to-end, so the DuckDB oracle
   * rebuilds the identical filter and replays membership bit-for-bit:
-  *  - string hash = unsigned low-32 Java `String.hashCode` (the wrapping
-  *    ×31 fold any engine can express; same base hash as
+  *  - string hash = unsigned low-32 code-point ×31 fold
+  *    ([[graft.functions.PortableHash.cp31u]] — the wrapping fold any
+  *    engine can express over `unicode(c)`/`ord(c)`; same base hash as
   *    [[Dedup]]'s tokenHash oracle),
   *  - k probe positions by double hashing: `(h1 + j·h2) mod m` with
   *    `h1 = u32 mod m`, `h2 = 1 + (u32 div m) mod (m−1)`,
@@ -28,10 +29,12 @@ import graft.functions.TextAnalysis
   */
 object BloomFilter {
 
-  /** Unsigned low-32 Java String.hashCode — genuinely loop-shaped (one
-    * wrapping multiply per char), same implementation family as the
-    * minhash/simhash token hashes. */
-  private val u32 = udf { (s: String) => s.hashCode.toLong & 0xffffffffL }
+  /** Unsigned low-32 portable code-point fold — genuinely loop-shaped
+    * (one wrapping multiply per code point), same base hash as the
+    * minhash/simhash token hashes. See [[graft.functions.PortableHash]]
+    * for why code points (not UTF-16 code units): the oracle folds
+    * `unicode(c)`, and the two only agree off-BMP if we do too. */
+  private val u32 = udf { (s: String) => graft.functions.PortableHash.cp31u(s) }
 
   private def withProbes(grams: DataFrame, m: Int): DataFrame =
     grams.withColumn("_h", u32(col("gram")))

@@ -59,10 +59,13 @@ object Chunking {
     * boundary set is a function of content alone).
     *
     * Entirely per-row column expressions — the token hash is the same
-    * unsigned-low-32 `×31` fold the bloom filter uses, evaluated as a
-    * nested higher-order aggregate (no UDF), and chunks materialize via
-    * slice between consecutive boundaries under one explode. No
-    * shuffle; any engine reproduces the boundaries bit-for-bit.
+    * unsigned-low-32 code-point `×31` fold the bloom filter uses
+    * ([[graft.functions.PortableHash.cp31uCol]], decoding code points
+    * from the UTF-8 bytes so supplementary-plane characters hash by
+    * their code point, not their surrogate halves — no UDF), and chunks
+    * materialize via slice between consecutive boundaries under one
+    * explode. No shuffle; any engine reproduces the boundaries
+    * bit-for-bit.
     *
     * Returns `(doc_id, chunk_id, start_tok, n_tok, chunk_text)` —
     * [[chunk]]'s schema; a boundary token ENDS its chunk, a trailing
@@ -71,10 +74,9 @@ object Chunking {
     */
   def chunkContentDefined(docs: DataFrame, divisor: Int = 16): DataFrame = {
     require(divisor >= 1, s"divisor must be >= 1, got $divisor")
-    // unsigned low-32 Java-style hash fold of one token, as expressions
+    // unsigned low-32 code-point hash fold of one token, as expressions
     def tokHash(tok: Column): Column =
-      aggregate(split(tok, ""), lit(0L),
-        (h, c) => pmod(h * 31 + ascii(c), lit(4294967296L)))
+      graft.functions.PortableHash.cp31uCol(tok)
     docs
       .select(col("doc_id"),
         TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))

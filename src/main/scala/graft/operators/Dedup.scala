@@ -173,7 +173,11 @@ object Dedup {
   /** Deterministic 64-bit token hash for permutation `i` (seeded affine
     * scramble over a murmur-ish base — stable across JVMs/executors). */
   private def tokenHash(i: Int, token: String): Long = {
-    var h = token.hashCode.toLong ^ (0x9e3779b97f4a7c15L * (i + 1))
+    // sign-extended code-point ×31 fold (PortableHash.cp31), NOT
+    // String.hashCode: the DuckDB oracles fold unicode(c), and the two
+    // only agree beyond the BMP if the JVM side folds code points too
+    var h = graft.functions.PortableHash.cp31(token).toLong ^
+      (0x9e3779b97f4a7c15L * (i + 1))
     h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
     h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
     h ^ (h >>> 33)

@@ -111,7 +111,9 @@ object Sampling {
     * split, so membership is a pure function of the row's score). When
     * even the top bucket alone exceeds the target the threshold is that
     * bucket; when the fraction is ≥ 1 every row passes (threshold falls
-    * to the min score).
+    * to the min score); keepNum = 0 keeps NOTHING (empty frame, schema
+    * preserved) rather than letting the ≥-threshold rule degenerate to
+    * the top bucket.
     *
     * Scale shape: percentiles via `ntile`/`row_number` would globally
     * sort 100 TB; here the data is only touched by (1) one map-side-
@@ -128,6 +130,12 @@ object Sampling {
     require(!df.columns.exists(Set("_score", "gate_threshold")),
       "input already carries a _score/gate_threshold column")
     val scored = df.withColumn("_score", scoreCol)
+    // keep-nothing is the empty frame, not "the whole top bucket": the
+    // general threshold rule degenerates (cum·keepDen ≥ tot·0 always
+    // holds), so short-circuit with the schema preserved
+    if (keepNum == 0)
+      return scored.where(lit(false))
+        .withColumn("gate_threshold", col("_score")).drop("_score")
     val hist = scored.groupBy("_score").agg(count(lit(1)).as("_cnt"))
     val cum = hist
       .withColumn("_cum", sum("_cnt").over(

@@ -28,8 +28,8 @@ object LlmQueries {
       |     WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END""".stripMargin
 
   /** Shared CTE chain reproducing [[Dedup.simhash64]] bit-exact in
-    * DuckDB: Java String.hashCode (32-bit wrapping fold over code units)
-    * sign-extended to unsigned 64, fmix64 (the two 64×64-bit multiplies
+    * DuckDB: the portable code-point ×31 fold (PortableHash.cp31,
+    * 32-bit wrapping) sign-extended to unsigned 64, fmix64 (the two 64×64-bit multiplies
     * split into 32-bit halves to stay inside INT128), then per-bit
     * majority votes. ONE definition interpolated into BOTH simhash
     * oracles so the arithmetic can never drift between them. Ends with
@@ -350,8 +350,8 @@ object LlmQueries {
 
     // 64-bit polynomial fingerprint, oracled: DuckDB reproduces the
     // wrapping-Long fold with HUGEINT arithmetic mod 2^64 over the
-    // UTF-16 code units (== codepoints for this BMP corpus), then
-    // re-signs into BIGINT range.
+    // Unicode code points (both engines fold code points, so the hash
+    // survives off-BMP text), then re-signs into BIGINT range.
     Q("q_text_fingerprint_rolling",
       (s, dir) => documents(s, dir)
         .select(col("doc_id"),
@@ -439,7 +439,7 @@ object LlmQueries {
     // Like the hyperplane ANN, MinHash-LSH is "approximate" only in
     // recall — every number it produces is deterministic arithmetic, so
     // the ENTIRE banded pipeline has an independent DuckDB oracle:
-    // per-permutation tokenHash (String.hashCode ^ fmix64-scrambled
+    // per-permutation tokenHash (code-point ×31 fold ^ fmix64-scrambled
     // seed, the same 32-bit-split HUGEINT machinery as the simhash
     // oracle), SIGNED-long minima (Scala compares signed), the in-band
     // 31-polynomial bucket fold, candidate join, the ≥ 48/64
@@ -507,8 +507,8 @@ object LlmQueries {
              |SELECT doc_a, doc_b, jaccard FROM verified
              |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // SimHash signatures, oracled: tokenHash is Java String.hashCode
-    // (32-bit wrapping fold) xor'd/scrambled by fmix64 — every step is
+    // SimHash signatures, oracled: tokenHash is the portable code-point
+    // ×31 fold (32-bit wrapping) xor'd/scrambled by fmix64 — every step is
     // plain modular arithmetic, so DuckDB reproduces the EXACT 64-bit
     // signature with HUGEINT mod-2^64 math (64×64-bit multiplies split
     // into 32-bit halves to stay inside INT128), then takes the same
@@ -1091,7 +1091,7 @@ object LlmQueries {
     // portable bloom (not a gram-string join side); the corpus tests
     // membership map-side and the exact join runs only on survivors.
     // Every bit of the filter is reproducible arithmetic (u32
-    // String.hashCode fold + double hashing), so the oracle REBUILDS the
+    // code-point-fold hash + double hashing), so the oracle REBUILDS the
     // filter as a distinct-position set and replays membership —
     // including false positives — exactly. Same bench/train split as
     // q_decontaminate_ngram (portable bucket 7 < 200).
@@ -1317,11 +1317,11 @@ object LlmQueries {
 
     // Training-shard assignment: deterministic pseudo-shuffled global
     // order (portable hash, ties by doc_id) cut into 50-doc shards. The
-    // Spark side computes the global rank scale-safe — composite
-    // (pb, doc_id div 100) window + broadcast prefix-sum offsets, the
-    // Packing shape — while the oracle is the plain single-window
-    // formulation: equality IS the correctness claim (and CurationSpec
-    // pins it independently).
+    // Spark side computes the global rank scale-safe — contiguous
+    // portable-bucket range-shards + a broadcast prefix-sum offset join
+    // over ≤ nShards rows, the selectToTokenBudget shape — while the
+    // oracle is the plain single-window formulation: equality IS the
+    // correctness claim (and CurationSpec pins it independently).
     Q("q_shard_assign",
       (s, dir) => graft.operators.Sharding
         .assignShards(documents(s, dir), 50)

@@ -165,16 +165,22 @@ class CurationSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "train_rank", "shard_id")
         .as[(Long, Long, Long)].collect().toSet
-    val sharded = rows(graft.operators.Sharding.assignShards(d, 7, shardWidth = 13))
-    // the claim: composite-window + offsets IS the plain global window
+    val sharded = rows(graft.operators.Sharding.assignShards(d, 7, nShards = 13))
+    // the claim: range-shard window + offsets IS the plain global window
     val one = d.select(col("doc_id"))
       .withColumn("train_rank", row_number().over(Window.orderBy(
         Sampling.portableBucket(col("doc_id"), 42), col("doc_id"))).cast("long"))
       .withColumn("shard_id", expr("(train_rank - 1) div 7"))
     assert(sharded == rows(one) && sharded.nonEmpty)
-    // layout independence + shardWidth independence (any W, same answer)
+    // layout independence + nShards independence (any count, same answer)
     assert(sharded == rows(
-      graft.operators.Sharding.assignShards(d.repartition(17), 7, shardWidth = 1000)))
+      graft.operators.Sharding.assignShards(d.repartition(17), 7, nShards = 1000)))
+    // scale shape: the offset table is bounded by nShards, never by the
+    // corpus — occupied range-shard count ≤ nShards regardless of n
+    val cells = d.select(col("doc_id"))
+      .select(Sampling.portableBucket(col("doc_id"), 42).as("pb"))
+      .select(expr("(pb * 13) div 10000").as("rs")).distinct().count()
+    assert(cells <= 13)
     // every shard is exactly recordsPerShard docs except the last
     val n = d.count()
     val sizes = sharded.groupBy(_._3).view.mapValues(_.size).toMap
@@ -199,6 +205,10 @@ class CurationSpec extends SparkSpec {
     assert(Sampling.topFractionGate(d, col("s"), 1, 1).count() == 20)
     // empty input → empty output, no NPE
     assert(Sampling.topFractionGate(d.where(lit(false)), col("s"), 3, 10).count() == 0)
+    // keep-top-0 keeps NOTHING (not the whole top bucket), schema intact
+    val zero = Sampling.topFractionGate(d, col("s"), 0, 10)
+    assert(zero.count() == 0)
+    assert(zero.columns.toSeq == d.columns.toSeq :+ "gate_threshold")
   }
 
   test("selectToTokenBudget: sharded == single-window; quota reached, never undershot") {
