@@ -1335,5 +1335,68 @@ object LlmQueries {
              |SELECT doc_id, CAST(train_rank AS BIGINT) AS train_rank,
              |  (CAST(train_rank AS BIGINT) - 1) // 50 AS shard_id
              |FROM r ORDER BY train_rank""".stripMargin)),
+
+    // Corpus-level boilerplate removal: every token covered by a word
+    // 3-gram that occurs in >= 3 distinct documents is stripped and the
+    // text rebuilt — the C4/RefinedWeb "shared span" pass, rewriting
+    // documents instead of dropping them. The oracle replays the whole
+    // pipeline: per-position gram stream, distinct-doc frequency,
+    // covered-position union, array rebuild. See operators/Boilerplate.
+    Q("q_boilerplate_strip",
+      (s, dir) => graft.operators.Boilerplate
+        .removeFrequentNgrams(documents(s, dir), n = 3, minDf = 3)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+             |  FROM documents),
+             |gp AS (SELECT doc_id,
+             |    unnest(range(1, len(t) - 1)) AS p,
+             |    unnest(list_transform(range(1, len(t) - 1),
+             |      i -> array_to_string(t[i:i+2], ' '))) AS gram
+             |  FROM toks WHERE len(t) >= 3),
+             |fr AS (SELECT gram FROM (
+             |    SELECT gram, COUNT(DISTINCT doc_id) AS df
+             |    FROM gp GROUP BY gram) WHERE df >= 3),
+             |st AS (SELECT doc_id, list(p) AS starts
+             |  FROM gp JOIN fr USING (gram) GROUP BY doc_id),
+             |cov AS (SELECT doc_id,
+             |    list_distinct(flatten(list_transform(starts,
+             |      i -> range(i, i + 3)))) AS covered
+             |  FROM st)
+             |SELECT tk.doc_id,
+             |  CAST(len(tk.t) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(len(c.covered), 0) AS BIGINT) AS n_removed,
+             |  COALESCE(array_to_string(list_transform(
+             |    list_filter(range(1, len(tk.t) + 1),
+             |      q -> NOT list_contains(COALESCE(c.covered,
+             |        CAST([] AS BIGINT[])), q)),
+             |    q -> tk.t[q]), ' '), '') AS cleaned_text
+             |FROM toks tk LEFT JOIN cov c USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Domain-level quality gate: whole sources pass or fail on their
+    // AGGREGATE signals (>= 10 docs, integer-div mean >= 52 tokens,
+    // stopword rate >= 55 per mille) and only passing sources' documents
+    // continue — the Gopher/FineWeb per-domain filter that catches
+    // systematically-bad domains whose individual docs look fine. See
+    // operators/DomainGate.
+    Q("q_domain_gate",
+      (s, dir) => graft.operators.DomainGate
+        .filterDocs(documents(s, dir), minDocs = 10, minAvgTokens = 52,
+          minStopPerMille = 55)
+        .orderBy("doc_id"),
+      Some("""WITH rep AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+             |    SUM(len(regexp_extract_all(text, '\b(the|a|of|and|to|is|in)\b')))
+             |      AS total_stopwords
+             |  FROM documents GROUP BY source),
+             |k AS (SELECT source, total_tokens // n_docs AS avg_tokens
+             |  FROM rep
+             |  WHERE n_docs >= 10 AND total_tokens // n_docs >= 52
+             |    AND total_stopwords * 1000 >= total_tokens * 55)
+             |SELECT d.doc_id, d.source, CAST(k.avg_tokens AS BIGINT) AS avg_tokens
+             |FROM documents d JOIN k USING (source)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -188,6 +188,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(dataWindows == 0, s"corpus-keyed exchange found:\n${plan.take(1500)}")
   }
 
+  test("q_boilerplate_strip: no windows; text moves through one doc_id join only") {
+    val plan = executed("q_boilerplate_strip")
+    // the rewrite is joins + aggregates + array expressions — a Window
+    // here would mean some per-doc or global sort snuck in
+    assert(!plan.contains("Window"), plan.take(1500))
+    // the token arrays must not ride the gram-keyed exchanges: at most
+    // one exchange partitions on a key set containing doc_id WITH the
+    // token payload (the rebuild join); gram-side exchanges carry ids
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("q_domain_gate: corpus collapses to a source-sized aggregate, then re-joins") {
+    val plan = executed("q_domain_gate")
+    // partial + final aggregation on source (map-side combine), and the
+    // kept-source set comes back as an equi-join, never a cross product
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("flagship standings: the only unpartitioned window is the bounded rank") {
     // team cardinality bounds the single-partition rank; anything else
     // funneling to one partition is a regression
