@@ -63,6 +63,29 @@ object BloomFilter {
         s"CAST(pmod((_h1 + $j * _h2) % $m, 64) AS INT)) & 1) = 1")
     }.reduce(_ && _)
 
+  /** Membership test as a PURE column expression over any gram column —
+    * the same double-hash arithmetic as the batch path, with the string
+    * hash folded by [[graft.functions.PortableHash.cp31uCol]] instead
+    * of the UDF. Because it is expressions all the way down it composes
+    * anywhere a UDF cannot follow: inside array lambdas
+    * (`filter(grams, g => membershipCol(g, …))`) and on STREAMING
+    * frames, where it filters stateless at the ingest edge
+    * ([[graft.streaming.StreamDecontaminate]]). */
+  def membershipCol(gram: Column, words: Array[Long], m: Int, k: Int): Column = {
+    require(m % 64 == 0 && m >= 64 && k >= 1, s"bad filter shape m=$m k=$k")
+    val bw = typedLit(words.toSeq)
+    val u = graft.functions.PortableHash.cp31uCol(gram)
+    val h1 = pmod(u, lit(m.toLong))
+    // exact integer u div m: u < 2^32, so the double division is exact
+    val h2 = lit(1L) + pmod(((u - h1) / lit(m.toLong)).cast("long"), lit(m - 1L))
+    def bitSet(p: Column): Column = {
+      val word = element_at(bw, (p / 64).cast("int") + 1)
+      call_function("shiftright", word, pmod(p, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }
+    (0 until k).map(j => bitSet(pmod(h1 + h2 * j, lit(m.toLong)))).reduce(_ && _)
+  }
+
   /** Per-language contamination report:
     * `(lang, n_docs_flagged, n_bloom_grams, n_true_grams)` — documents
     * with ≥ 1 bloom-positive n-gram, bloom-positive (doc, gram) pairs,

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.BloomFilter
+
+/** Benchmark decontamination at the INGEST EDGE: documents arriving on
+  * a stream are tested against the eval set's m-bit portable bloom
+  * filter before they ever land in the corpus — the streaming sibling
+  * of [[graft.operators.BloomFilter.decontaminateReport]].
+  *
+  * The whole test is stateless column arithmetic (the filter ships as
+  * an `array<long>` literal; the gram hash is the expression-form
+  * code-point fold, no UDF), so unlike a stream-static join it needs no
+  * state store, no watermark, and no shuffle: each micro-batch filters
+  * inside its own scan stage, at full append-mode parallelism. Bloom
+  * semantics carry over exactly: zero false negatives (a contaminated
+  * document can never slip through), false positives at the filter's
+  * designed rate quarantine a few clean documents — the safe direction
+  * for decontamination.
+  */
+object StreamDecontaminate {
+
+  /** Append `n_flagged_grams` (distinct word n-grams of `text` that the
+    * filter recognizes) and `contaminated` to a (possibly streaming)
+    * documents frame. */
+  def flag(docs: DataFrame, words: Array[Long], n: Int,
+           m: Int = 65536, k: Int = 3): DataFrame =
+    docs
+      .withColumn("n_flagged_grams",
+        size(filter(array_distinct(TextAnalysis.wordNgrams(col("text"), n)),
+          g => BloomFilter.membershipCol(g, words, m, k))).cast("long"))
+      .withColumn("contaminated", col("n_flagged_grams") > 0)
+
+  /** Only the documents the filter clears — the stream that continues
+    * into the corpus. */
+  def admit(docs: DataFrame, words: Array[Long], n: Int,
+            m: Int = 65536, k: Int = 3): DataFrame =
+    flag(docs, words, n, m, k).where(!col("contaminated"))
+      .drop("n_flagged_grams", "contaminated")
+}
