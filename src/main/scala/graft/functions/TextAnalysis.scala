@@ -152,10 +152,16 @@ object TextAnalysis {
     * cross that near ~3·10¹³ training tokens, so beyond ~10¹³ tokens
     * lower the 1e8 scale factor a decade per decade of corpus. */
   def bigramLmScores(docs: DataFrame): DataFrame = {
-    val bg = docs.select(col("doc_id"), col("lang"),
+    // occurrences collapse to per-(doc, bigram) counts FIRST (map-side
+    // combine on the explode output), so every downstream join moves
+    // distinct-bigram rows with a multiplicity column instead of one
+    // row per occurrence — identical integers (s_sum = Σ k·s,
+    // n_bigrams = Σ k), strictly less join input
+    val bgc = docs.select(col("doc_id"), col("lang"),
         explode(wordNgrams(col("text"), 2)).as("bigram"))
+      .groupBy("doc_id", "lang", "bigram").agg(count(lit(1)).as("k"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
-    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c2 = bgc.groupBy("bigram").agg(sum("k").as("c2"))
     val c1 = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     // no broadcast hint on the unigram table: a real web corpus's token
@@ -163,10 +169,10 @@ object TextAnalysis {
     // tokens — far past broadcast size — so the join strategy is left to
     // AQE, which broadcasts exactly when the measured vocab is small and
     // falls back to a shuffled hash/sort-merge join on w1 when it isn't
-    bg.join(c2, "bigram").join(c1, col("w1") === col("w"))
+    bgc.join(c2, "bigram").join(c1, col("w1") === col("w"))
       .withColumn("s", expr("(c2 * 100000000) div c1"))
       .groupBy("doc_id", "lang").agg(
-        count(lit(1)).as("n_bigrams"), sum("s").as("s_sum"))
+        sum("k").as("n_bigrams"), sum(expr("k * s")).as("s_sum"))
       .withColumn("lm_score", expr("s_sum div n_bigrams"))
   }
 

@@ -205,6 +205,47 @@ object Sampling {
       .select(col(idCol), col(stratumCol), col("n_tokens"), col("cum_before"))
   }
 
+  /** Multi-epoch upsampling — the other half of data mixing: a small
+    * high-quality stratum is REPEATED (trained for several epochs)
+    * while [[mixtureResample]] downsamples the large ones. Fractional
+    * epochs are exact integers `epochsNum(stratum) / epochsDen`
+    * (e.g. 5/2 = 2.5 epochs): every document emits `num div den` full
+    * copies, and the partial epoch keeps the deterministic
+    * `portableBucket(id) · den < (num mod den) · granularity` subset —
+    * layout- and engine-independent membership, same contract as
+    * [[stratifiedByHash]]. Strata absent from the map emit nothing
+    * (mirroring [[mixtureResample]]). Returns one row per kept copy:
+    * `(idCol, stratumCol, epoch)`, epoch 1-based with the partial
+    * epoch last.
+    *
+    * Scale shape: pure per-row expressions — a `sequence` explode of at
+    * most `num div den + 1` copies and one integer predicate. No
+    * shuffle, no aggregate, no window; the blow-up factor is the
+    * epoch count itself, which is the point. */
+  def epochUpsample(df: DataFrame, epochsNum: Map[String, Int],
+                    epochsDen: Int, stratumCol: String = "lang",
+                    idCol: String = "doc_id", seed: Int = 42,
+                    granularity: Int = 10000): DataFrame = {
+    require(epochsDen > 0, s"epochsDen must be positive, got $epochsDen")
+    require(epochsNum.values.forall(_ >= 0),
+      "epoch numerators must be non-negative")
+    require(!Set(idCol, stratumCol).exists(Set("_num", "_pb", "epoch")),
+      "idCol/stratumCol collide with a reserved _num/_pb/epoch column")
+    val num = epochsNum.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    val den = lit(epochsDen.toLong)
+    df.select(col(idCol), col(stratumCol))
+      .withColumn("_num", num)
+      .withColumn("_pb", portableBucket(col(idCol), seed, granularity))
+      .withColumn("epoch",
+        explode(sequence(lit(1L), expr(s"_num div $epochsDen") + 1)))
+      .where(col("epoch") <= expr(s"_num div $epochsDen") ||
+        (pmod(col("_num"), den) > 0 &&
+          col("_pb") * den < pmod(col("_num"), den) * granularity))
+      .select(col(idCol), col(stratumCol), col("epoch"))
+  }
+
   /** Corpus mixture resampling: deterministically downsample each stratum
     * toward target mixture `weights` (integer numerators over
     * `weightDen`; e.g. en→4, fr→2 … over 10 = "40% en, 20% fr …" of the

@@ -1374,6 +1374,31 @@ object LlmQueries {
              |FROM toks tk LEFT JOIN cov c USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Multi-epoch upsampling: en trains 2.5 epochs (2 full copies +
+    // the deterministic pb-hash half), fr 1, es 0.5, de/zh drop — the
+    // repeat-small-high-quality-sources half of data mixing (mixture
+    // resampling is the downsample half). Pure explode + integer
+    // predicate; the oracle replays copies and the partial-epoch
+    // membership exactly. See operators/Sampling.epochUpsample.
+    Q("q_epoch_mix",
+      (s, dir) => graft.operators.Sampling
+        .epochUpsample(documents(s, dir),
+          Map("en" -> 5, "fr" -> 2, "es" -> 1), epochsDen = 2)
+        .orderBy("doc_id", "epoch"),
+      Some(s"""WITH p AS (SELECT doc_id, lang,
+             |    ${Sampling.portableBucketSql("doc_id", 42)} AS pb,
+             |    CASE lang WHEN 'en' THEN 5 WHEN 'fr' THEN 2
+             |              WHEN 'es' THEN 1 ELSE 0 END AS num
+             |  FROM documents),
+             |x AS (SELECT doc_id, lang, pb, num,
+             |    unnest(range(1, num // 2 + 2)) AS epoch
+             |  FROM p)
+             |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+             |FROM x
+             |WHERE epoch <= num // 2
+             |   OR (num % 2 > 0 AND pb * 2 < (num % 2) * 10000)
+             |ORDER BY doc_id, epoch""".stripMargin)),
+
     // Domain-level quality gate: whole sources pass or fail on their
     // AGGREGATE signals (>= 10 docs, integer-div mean >= 52 tokens,
     // stopword rate >= 55 per mille) and only passing sources' documents

@@ -191,6 +191,33 @@ class CurationSpec extends SparkSpec {
     assert(sharded.map(_._2) == (1L to n).toSet)
   }
 
+  test("epochUpsample: full copies exact, partial epoch is the hash subset") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.epochUpsample(d, Map("en" -> 5, "fr" -> 2, "es" -> 1), 2)
+      .as[(Long, String, Long)].collect()
+    val byLang = out.groupBy(_._2)
+    val nEn = d.where(col("lang") === "en").count()
+    val nFr = d.where(col("lang") === "fr").count()
+    // en: 2 full copies of every doc + a ~half partial epoch, epoch ids 1..3
+    val en = byLang("en")
+    assert(en.count(_._3 <= 2) == 2 * nEn)
+    val partial = en.count(_._3 == 3)
+    assert(partial > 0 && partial < nEn)
+    // the partial epoch is exactly the stratifiedByHash half (same seed)
+    val half = Sampling.stratifiedByHash(
+      d.where(col("lang") === "en"), lit(0.5)).select("doc_id")
+      .as[Long].collect().toSet
+    assert(en.filter(_._3 == 3).map(_._1).toSet == half)
+    // fr: exactly one epoch, no partial; absent strata emit nothing
+    assert(byLang("fr").forall(_._3 == 1L) && byLang("fr").length == nFr)
+    assert(!byLang.contains("de") && !byLang.contains("zh"))
+    // layout independence
+    val out2 = Sampling.epochUpsample(d.repartition(13),
+      Map("en" -> 5, "fr" -> 2, "es" -> 1), 2)
+      .as[(Long, String, Long)].collect()
+    assert(out.sorted.toSeq == out2.sorted.toSeq)
+  }
+
   test("topFractionGate: threshold never splits a tie bucket; fraction honored") {
     // scores: 9×score-1, 1×score-5, 10×score-3 → hist {5:1, 3:10, 1:9}
     val d = ((1 to 9).map(i => (i.toLong, 1L)) ++ Seq((10L, 5L)) ++
