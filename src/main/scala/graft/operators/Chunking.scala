@@ -74,9 +74,12 @@ object Chunking {
     */
   def chunkContentDefined(docs: DataFrame, divisor: Int = 16): DataFrame = {
     require(divisor >= 1, s"divisor must be >= 1, got $divisor")
-    // unsigned low-32 code-point hash fold of one token, as expressions
+    // unsigned low-32 code-point hash of one token — the native
+    // expression (one primitive loop over the UTF-8 bytes, no regex
+    // split, no array per token; bit-parity with PortableHash.cp31uCol
+    // pinned in PortableHashSpec): this runs once per corpus token
     def tokHash(tok: Column): Column =
-      graft.functions.PortableHash.cp31uCol(tok)
+      graft.plans.Cp31Hash.cp31uCol(docs.sparkSession, tok)
     docs
       .select(col("doc_id"),
         TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))

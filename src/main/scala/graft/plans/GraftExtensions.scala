@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_count_equal"),
       new ExpressionInfo(classOf[CountEqual].getName, "graft_count_equal"),
       CountEqual.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cp31u"),
+      new ExpressionInfo(classOf[Cp31Hash].getName, "graft_cp31u"),
+      Cp31Hash.builder))
   }
 }

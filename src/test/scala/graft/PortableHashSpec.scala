@@ -45,6 +45,26 @@ class PortableHashSpec extends SparkSpec {
     tricky.foreach(s => assert(out(s) == PortableHash.cp31u(s), s"cp31uCol($s)"))
   }
 
+  test("graft_cp31u (native codegen) == cp31u, standalone and inside a lambda") {
+    val df = tricky.toDF("s")
+    val out = df
+      .select(col("s"), graft.plans.Cp31Hash.cp31uCol(spark, col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    tricky.foreach(s => assert(out(s) == PortableHash.cp31u(s), s"native($s)"))
+    // inside a higher-order-function lambda (the CDC call shape): the
+    // expression must evaluate interpreted too
+    val inLambda = df
+      .select(col("s"), element_at(transform(array(col("s")),
+        x => graft.plans.Cp31Hash.cp31uCol(spark, x)), 1).as("h"))
+      .as[(String, Long)].collect().toMap
+    tricky.foreach(s => assert(inLambda(s) == PortableHash.cp31u(s), s"lambda($s)"))
+    // and the SQL name resolves after registration
+    graft.plans.Cp31Hash.register(spark)
+    val viaSql = spark.sql("SELECT graft_cp31u('a👍b')")
+      .collect()(0).getLong(0)
+    assert(viaSql == PortableHash.cp31u("a👍b"))
+  }
+
   test("chunkContentDefined places boundaries by code-point hash on emoji text") {
     // divisor 2: a token ends a chunk iff its code-point hash is even
     val text = "👍 beta 𝕏ray café 中文 delta👍"
