@@ -29,15 +29,15 @@ import graft.functions.TextAnalysis
   */
 object BloomFilter {
 
-  /** Unsigned low-32 portable code-point fold — genuinely loop-shaped
-    * (one wrapping multiply per code point), same base hash as the
-    * minhash/simhash token hashes. See [[graft.functions.PortableHash]]
-    * for why code points (not UTF-16 code units): the oracle folds
-    * `unicode(c)`, and the two only agree off-BMP if we do too. */
-  private val u32 = udf { (s: String) => graft.functions.PortableHash.cp31u(s) }
-
+  /** Unsigned low-32 portable code-point fold — the native codegen
+    * expression ([[graft.plans.Cp31Hash]], one primitive loop over the
+    * UTF-8 bytes; same base hash as the minhash/simhash token hashes).
+    * See [[graft.functions.PortableHash]] for why code points (not
+    * UTF-16 code units): the oracle folds `unicode(c)`, and the two
+    * only agree off-BMP if we do too. */
   private def withProbes(grams: DataFrame, m: Int): DataFrame =
-    grams.withColumn("_h", u32(col("gram")))
+    grams.withColumn("_h",
+        graft.plans.Cp31Hash.cp31uCol(grams.sparkSession, col("gram")))
       .withColumn("_h1", pmod(col("_h"), lit(m.toLong)))
       .withColumn("_h2", lit(1L) + pmod(expr(s"_h div $m"), lit(m - 1L)))
 
