@@ -39,6 +39,17 @@ object Dedup {
     floor(log(greatest(nToks, lit(1)).cast("double")) / width).cast("long")
   }
 
+  /** Sorted 64-bit token-hash set of a text column (graft_tok64 over
+    * the distinct tokens): the exact-verify representation — fixed
+    * 8 bytes per token through the candidate-pair joins, primitive
+    * compares in the two-pointer intersect. Hash identity ≡ string
+    * identity up to 2⁻⁶⁴-scale collisions (the md5-fingerprint trade).
+    */
+  private def sortedTokenHashSet(docs: DataFrame,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_sort(transform(TextAnalysis.tokenSet(text),
+      t => graft.plans.Tok64Hash.tok64Col(docs.sparkSession, t)))
+
   /** Word-set Jaccard similarity pairs with J ≥ threshold. Returns
     * (doc_a, doc_b, jaccard), doc_a < doc_b.
     *
@@ -62,12 +73,17 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    salts: Int = 1): DataFrame = {
-    // sorted token sets: the exact-verify intersection below runs as an
-    // allocation-free two-pointer merge (native codegen'd expression)
-    // instead of a per-pair hash set — the verify stage dominates this
-    // operator's cost, the sort amortizes across a document's pairs
+    // sorted token-HASH sets: the exact-verify intersection below runs
+    // as an allocation-free two-pointer merge over fixed-width longs
+    // (native codegen'd expressions) instead of a per-pair hash set of
+    // strings — the verify stage dominates this operator's cost, the
+    // hash+sort amortizes across a document's pairs, and the b-side
+    // bucket replication shuffles 8-byte longs, not token strings.
+    // Token identity via the 64-bit graft_tok64 ≡ string identity up
+    // to 2⁻⁶⁴-scale collisions (the md5-fingerprint trade; equality
+    // with the string formulation is property-tested).
     val toks = docs.select(col("doc_id"), col("lang"),
-      TextAnalysis.sortedTokenSet(col("text")).as("toks"))
+      sortedTokenHashSet(docs, col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")))
     val a = toks.select(col("doc_id").as("doc_a"), col("lang"),
       col("toks").as("toks_a"), col("n_toks").as("na"))
@@ -217,9 +233,8 @@ object Dedup {
         bd.toLong << 56 | (h & 0xffffffffffffL)
       }
     }
-    // sorted sets: signature minima are order-independent, and the
-    // exact-verify intersection below runs as the native two-pointer
-    // merge instead of a per-pair hash set
+    // distinct token sets feed the signature UDF; the exact-verify
+    // stage re-derives 64-bit HASH sets separately (see below)
     val tk = docs.select(col("doc_id"),
       TextAnalysis.sortedTokenSet(col("text")).as("toks"))
     val sigs = tk.withColumn("sig", sigUdf(col("toks")))
@@ -258,10 +273,15 @@ object Dedup {
       .join(sb, "doc_b")
       .where(estMatches >= lit(math.max(0.0, threshold - 0.15) * numPerm))
       .select("doc_a", "doc_b")
-    // token attachment reads from the pre-signature projection, so these
-    // two passes skip the numPerm-permutation UDF entirely
-    val ta = tk.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val tb = tk.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    // token attachment uses the 64-bit HASH sets (graft_tok64): the two
+    // verify joins ship fixed-width longs instead of token strings to
+    // the million-pair survivor set, and skip the numPerm-permutation
+    // UDF entirely; intersection on hashes ≡ on strings up to
+    // 2⁻⁶⁴-scale collisions (property-tested vs the string answer)
+    val htk = docs.select(col("doc_id"),
+      sortedTokenHashSet(docs, col("text")).as("toks"))
+    val ta = htk.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val tb = htk.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     val inter = graft.plans.SortedIntersectSize
       .intersectSizeCol(docs.sparkSession, col("toks_a"), col("toks_b"))
     survivors

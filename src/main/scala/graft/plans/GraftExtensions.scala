@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cp31u"),
       new ExpressionInfo(classOf[Cp31Hash].getName, "graft_cp31u"),
       Cp31Hash.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tok64"),
+      new ExpressionInfo(classOf[Tok64Hash].getName, "graft_tok64"),
+      Tok64Hash.builder))
   }
 }

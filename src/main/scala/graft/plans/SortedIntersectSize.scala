@@ -5,12 +5,12 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
 /** Native codegen'd intersection COUNT of two SORTED, DISTINCT
-  * `array<string>` columns.
+  * `array<string>` (or `array<long>`) columns.
   *
   * `size(array_intersect(a, b))` builds a hash set of one side per row —
   * per-pair allocation plus string hashing — and that verify step is the
@@ -36,9 +36,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_sorted_intersect_size expects (array<string>, array<string>), got ($l, $r)")
+        s"graft_sorted_intersect_size expects two array<string> or two array<long> columns, got ($l, $r)")
     }
+
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def dataType: DataType = IntegerType
 
@@ -52,8 +57,11 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
+    val long = isLong
     while (i < nx && j < ny && !x.isNullAt(i) && !y.isNullAt(j)) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cmp =
+        if (long) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -69,12 +77,15 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (isLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny && !$a.isNullAt($i) && !$b.isNullAt($j)) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $cmp = $cmpExpr;
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}

@@ -125,6 +125,36 @@ class PortableHashSpec extends SparkSpec {
     assert(Dedup.simhash64(Seq(tok)) == expected0)
   }
 
+  test("graft_tok64 == minhash permutation-0 token hash on every input") {
+    // single-token signature at numPerm=1 IS tokenHash(0, t)
+    val out = tricky.filter(_.nonEmpty).toDF("s")
+      .select(col("s"), graft.plans.Tok64Hash.tok64Col(spark, col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    out.foreach { case (s, h) =>
+      assert(h == Dedup.minhashSignature(Seq(s), 1)(0), s"tok64($s)")
+    }
+    // long-array intersect == string-array intersect on token sets
+    val pairs = Seq(
+      ("a b c d 👍", "c d e 👍"),
+      ("x y z", "p q r"),
+      ("one two", "one two"))
+    pairs.foreach { case (ta, tb) =>
+      val df = Seq((ta, tb)).toDF("ta", "tb")
+      def hset(c: org.apache.spark.sql.Column) = array_sort(transform(
+        array_distinct(split(trim(c), "\\s+")),
+        t => graft.plans.Tok64Hash.tok64Col(spark, t)))
+      def sset(c: org.apache.spark.sql.Column) =
+        array_sort(array_distinct(split(trim(c), "\\s+")))
+      val (hi, si) = df.select(
+        graft.plans.SortedIntersectSize
+          .intersectSizeCol(spark, hset(col("ta")), hset(col("tb"))).as("hi"),
+        graft.plans.SortedIntersectSize
+          .intersectSizeCol(spark, sset(col("ta")), sset(col("tb"))).as("si"))
+        .as[(Int, Int)].collect().head
+      assert(hi == si, s"intersect($ta | $tb)")
+    }
+  }
+
   test("bloom filter probes emoji grams by code-point hash; membership holds") {
     val m = 256
     val k = 3
