@@ -43,6 +43,30 @@ object TextAnalysis {
       .otherwise(typedLit(Seq.empty[String]))
   }
 
+  /** All-occurrence word n-gram STREAM of a documents frame: one output
+    * row per n-gram occurrence, carrying `carry` columns plus `gram`.
+    * The positional explode comes FIRST and the gram text is built by
+    * codegen'd slice + concat_ws on the exploded row — bypassing
+    * [[wordNgrams]]' per-element lambda, which evaluates interpreted
+    * (higher-order transform) and allocates the full gram-string array
+    * per document. At corpus scale gram-stream PRODUCTION dominates
+    * every decontamination/LM consumer (measured 12× in ProbeStages),
+    * so stream consumers use this; [[wordNgrams]] remains for
+    * array-shaped consumers (per-doc lambdas, streaming filters). Emits
+    * nothing for docs with fewer than n tokens — same contract as
+    * [[wordNgrams]]' empty array. */
+  def ngramStream(df: DataFrame, n: Int, carry: Seq[String]): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val carryCols = carry.map(col)
+    df.select(carryCols :+ tokens(col("text")).as("_t"): _*)
+      .select(carryCols :+ col("_t") :+
+        explode(when(size(col("_t")) >= n,
+            sequence(lit(1), size(col("_t")) - (n - 1)))
+          .otherwise(typedLit(Seq.empty[Int]))).as("_i"): _*)
+      .select(carryCols :+
+        concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("gram"): _*)
+  }
+
   /** Characters removed when stripping punctuation = punctuation count. */
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("long")
@@ -157,8 +181,8 @@ object TextAnalysis {
     // distinct-bigram rows with a multiplicity column instead of one
     // row per occurrence — identical integers (s_sum = Σ k·s,
     // n_bigrams = Σ k), strictly less join input
-    val bgc = docs.select(col("doc_id"), col("lang"),
-        explode(wordNgrams(col("text"), 2)).as("bigram"))
+    val bgc = ngramStream(docs, 2, Seq("doc_id", "lang"))
+      .withColumnRenamed("gram", "bigram")
       .groupBy("doc_id", "lang", "bigram").agg(count(lit(1)).as("k"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val c2 = bgc.groupBy("bigram").agg(sum("k").as("c2"))

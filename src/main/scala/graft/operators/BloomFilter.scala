@@ -97,6 +97,14 @@ object BloomFilter {
       .select(explode(TextAnalysis.wordNgrams(col("text"), n)).as("gram"))
       .distinct()
     val words = buildBits(benchGrams, m, k)
+    // per-doc dedup stays IN THE ARRAY (array_distinct before explode):
+    // the report's counts need distinct (doc, gram) pairs, and deduping
+    // after a positional-explode stream would shuffle every bloom-
+    // POSITIVE row — on a corpus that heavily shares vocabulary with
+    // the eval set (this test corpus; any contaminated crawl) that
+    // shuffle costs more than wordNgrams' lambda production. A corpus
+    // where positives are rare can switch to TextAnalysis.ngramStream +
+    // survivor distinct (the Decontaminate.overlapReport shape).
     val bloomHits = withProbes(
       train.select(col("doc_id"), col("lang"),
         explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))

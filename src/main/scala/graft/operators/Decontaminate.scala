@@ -27,18 +27,18 @@ object Decontaminate {
     * common case at scale — emit the flagged minority, not the corpus).
     */
   def overlapReport(train: DataFrame, bench: DataFrame, n: Int): DataFrame = {
-    // within-doc dup grams are dropped in codegen BEFORE the explode, so
-    // each (doc, gram) emerges at most once and `n_shared` is a plain
-    // count with map-side combine — a count_distinct here would re-dedup
-    // in the aggregate, paying a second (doc_id, gram) hash of the whole
-    // joined stream for nothing
-    val trainGrams = train.select(col("doc_id"),
-      explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n))).as("gram"))
+    // ALL-occurrence gram stream (ngramStream: positional explode, gram
+    // built in codegen — wordNgrams' per-element lambda dominated this
+    // operator's cost); the broadcast join filters occurrences map-side
+    // and the per-doc DISTINCT runs in the aggregate, over the MATCHED
+    // rows only — at corpus scale that is the flagged minority, far
+    // cheaper than pre-deduplicating the whole corpus gram stream
+    val trainGrams = TextAnalysis.ngramStream(train, n, Seq("doc_id"))
     val benchGrams = bench
       .select(explode(TextAnalysis.wordNgrams(col("text"), n)).as("gram"))
       .distinct()
     trainGrams.join(broadcast(benchGrams), "gram")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct("gram").as("n_shared"))
   }
 }
