@@ -342,19 +342,38 @@ object Similarity {
     */
   def semDedupSurvivors(emb: DataFrame, threshold: Double,
                         nLists: Int = 16, iters: Int = 2,
-                        maxFitRows: Long = 4096L): DataFrame = {
+                        maxFitRows: Long = 4096L, salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("vv", ndot(col("vec"), col("vec")))
-    val asg = v.withColumn("list_id", argminCol(v, lloydFit(v, nLists, iters, maxFitRows)))
+    // the assignment is materialized ONCE (localCheckpoint, the
+    // duplicateClusters precedent): its expression tree inlines all
+    // nLists×dim centroid literals, and the three consumers below (both
+    // self-join sides + the anti-join left) would each re-plan, re-
+    // codegen and re-execute that giant tree — at nLists=16, dim=64 the
+    // repeated plan alone is ~100 KB and planning/compile dominates the
+    // operator. One corpus-sized write is the price; at real scale it
+    // replaces three full scan+assign passes.
+    val asg = v.withColumn("list_id",
+      argminCol(v, lloydFit(v, nLists, iters, maxFitRows))).localCheckpoint()
+    // the self-join key carries a SALT (a-side by id, b-side replicated
+    // ×salts) so one cluster's quadratic pair work spreads over `salts`
+    // tasks instead of one — the within-cluster comparison is the
+    // operator's whole cost, and without the salt its parallelism caps
+    // at nLists (AQE even coalesces the small INPUT to one task while
+    // the OUTPUT is the quadratic part). Every (a, b) pair still meets
+    // exactly once: b replicates to all salts, a picks one.
     val a = asg.select(col("vec_id").as("vec_a"), col("vec").as("va"),
       col("vv").as("vva"), col("list_id"))
+      .withColumn("_salt", pmod(col("vec_a"), lit(salts)).cast("int"))
     val b = asg.select(col("vec_id").as("vec_b"), col("vec").as("vb"),
       col("vv").as("vvb"), col("list_id"))
+      .withColumn("_salt", explode(lit((0 until salts).toArray)))
     // ids-only through the distinct; cos compared UNROUNDED — both
     // engines build the identical double (ordered folds), so the ≥ is
     // exact on each side.
-    val pruned = a.join(b, Seq("list_id"))
+    val pruned = a.join(b, Seq("list_id", "_salt"))
       .where(col("vec_a") < col("vec_b") &&
         ndot(col("va"), col("vb")) / (sqrt(col("vva")) * sqrt(col("vvb")))
           >= threshold)

@@ -25,6 +25,20 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == Seq.empty)          // whitespace runs collapse
   }
 
+  test("ngramStream == exploded wordNgrams on every doc shape") {
+    val d = Seq((1L, "a b c d"), (2L, "x y"), (3L, "  a   b  "),
+        (4L, null.asInstanceOf[String]), (5L, ""))
+      .toDF("doc_id", "text")
+    val viaArray = d.select(col("doc_id"),
+        explode(TextAnalysis.wordNgrams(col("text"), 3)).as("gram"))
+      .as[(Long, String)].collect().sorted.toSeq
+    val viaStream = TextAnalysis.ngramStream(d, 3, Seq("doc_id"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(viaStream == viaArray && viaStream.nonEmpty)
+    // null/empty/short docs emit nothing from either formulation
+    assert(!viaStream.exists(r => r._1 >= 2L))
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram, distinct-counted") {
     val bench = docs(100L -> "the quick brown fox jumps")
     val train = docs(
