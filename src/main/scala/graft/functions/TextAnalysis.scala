@@ -57,6 +57,10 @@ object TextAnalysis {
     * [[wordNgrams]]' empty array. */
   def ngramStream(df: DataFrame, n: Int, carry: Seq[String]): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val reserved = Set("_t", "_i", "gram")
+    require(!carry.exists(reserved),
+      s"carry columns ${carry.filter(reserved).mkString(", ")} collide with " +
+        "ngramStream working/output columns (_t, _i, gram)")
     val carryCols = carry.map(col)
     df.select(carryCols :+ tokens(col("text")).as("_t"): _*)
       .select(carryCols :+ col("_t") :+

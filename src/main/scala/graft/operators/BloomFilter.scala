@@ -29,6 +29,24 @@ import graft.functions.TextAnalysis
   */
 object BloomFilter {
 
+  /** A built filter with the exact (m, k) it was built under. Probe
+    * positions are a function of (m, k), so a filter probed with
+    * different parameters than it was built with silently breaks the
+    * zero-false-negative guarantee (or trips an out-of-range
+    * `element_at`). Bundling the three into one value makes that drift
+    * unrepresentable — prefer [[build]] + [[Filter.contains]] over the
+    * raw `(words, m, k)` triple. */
+  final case class Filter(words: Array[Long], m: Int, k: Int) {
+    require(m % 64 == 0 && m >= 64 && k >= 1, s"bad filter shape m=$m k=$k")
+    require(words.length * 64 == m,
+      s"filter words carry ${words.length * 64} bits but m=$m")
+    def contains(gram: Column): Column = membershipCol(gram, words, m, k)
+  }
+
+  /** [[buildBits]] bundled with its own (m, k) — see [[Filter]]. */
+  def build(grams: DataFrame, m: Int, k: Int): Filter =
+    Filter(buildBits(grams, m, k), m, k)
+
   /** Unsigned low-32 portable code-point fold — the native codegen
     * expression ([[graft.plans.Cp31Hash]], one primitive loop over the
     * UTF-8 bytes; same base hash as the minhash/simhash token hashes).
@@ -73,6 +91,9 @@ object BloomFilter {
     * ([[graft.streaming.StreamDecontaminate]]). */
   def membershipCol(gram: Column, words: Array[Long], m: Int, k: Int): Column = {
     require(m % 64 == 0 && m >= 64 && k >= 1, s"bad filter shape m=$m k=$k")
+    require(words.length * 64 == m,
+      s"filter words carry ${words.length * 64} bits but m=$m — " +
+        "probe (m, k) must match the build parameters (use Filter to bundle them)")
     val bw = typedLit(words.toSeq)
     val u = graft.functions.PortableHash.cp31uCol(gram)
     val h1 = pmod(u, lit(m.toLong))

@@ -179,7 +179,11 @@ object Sampling {
                           granularity: Int = 10000,
                           tokens: Column = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(budget >= 0 && nShards >= 1, s"need budget >= 0 and nShards >= 1")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    // same contract as Sharding.assignShards: the shard key is a monotone
+    // step function of pb, so parallelism caps at nShards ≤ granularity
+    require(nShards >= 1 && nShards <= granularity,
+      s"need 1 <= nShards <= granularity, got nShards=$nShards granularity=$granularity")
     // default token source: count the text column; pipelines that already
     // carry a token count pass it instead and the text never re-tokenizes
     val tok = Option(tokens)

@@ -363,10 +363,14 @@ object Similarity {
     // operator's whole cost, and without the salt its parallelism caps
     // at nLists (AQE even coalesces the small INPUT to one task while
     // the OUTPUT is the quadratic part). Every (a, b) pair still meets
-    // exactly once: b replicates to all salts, a picks one.
+    // exactly once: b replicates to all salts, a picks one. The salt is
+    // a SCRAMBLED id (murmur3), not the raw id mod salts: strided id
+    // allocation (all-even ids, block-allocated ranges) would skew raw
+    // residues and re-concentrate the quadratic work the salt exists to
+    // spread; correctness never depends on the salt value.
     val a = asg.select(col("vec_id").as("vec_a"), col("vec").as("va"),
       col("vv").as("vva"), col("list_id"))
-      .withColumn("_salt", pmod(col("vec_a"), lit(salts)).cast("int"))
+      .withColumn("_salt", pmod(hash(col("vec_a")), lit(salts)).cast("int"))
     val b = asg.select(col("vec_id").as("vec_b"), col("vec").as("vb"),
       col("vv").as("vvb"), col("list_id"))
       .withColumn("_salt", explode(lit((0 until salts).toArray)))

@@ -24,19 +24,29 @@ object StreamDecontaminate {
 
   /** Append `n_flagged_grams` (distinct word n-grams of `text` that the
     * filter recognizes) and `contaminated` to a (possibly streaming)
-    * documents frame. */
-  def flag(docs: DataFrame, words: Array[Long], n: Int,
-           m: Int = 65536, k: Int = 3): DataFrame =
+    * documents frame. The filter arrives as a [[BloomFilter.Filter]]
+    * bundle so the probe (m, k) can never drift from the build (m, k) —
+    * drift would silently break the zero-false-negative guarantee. */
+  def flag(docs: DataFrame, filter0: BloomFilter.Filter, n: Int): DataFrame =
     docs
       .withColumn("n_flagged_grams",
         size(filter(array_distinct(TextAnalysis.wordNgrams(col("text"), n)),
-          g => BloomFilter.membershipCol(g, words, m, k))).cast("long"))
+          g => filter0.contains(g))).cast("long"))
       .withColumn("contaminated", col("n_flagged_grams") > 0)
+
+  /** Raw-triple form; validates shape via the [[BloomFilter.Filter]]
+    * constructor. */
+  def flag(docs: DataFrame, words: Array[Long], n: Int,
+           m: Int = 65536, k: Int = 3): DataFrame =
+    flag(docs, BloomFilter.Filter(words, m, k), n)
 
   /** Only the documents the filter clears — the stream that continues
     * into the corpus. */
+  def admit(docs: DataFrame, filter0: BloomFilter.Filter, n: Int): DataFrame =
+    flag(docs, filter0, n).where(!col("contaminated"))
+      .drop("n_flagged_grams", "contaminated")
+
   def admit(docs: DataFrame, words: Array[Long], n: Int,
             m: Int = 65536, k: Int = 3): DataFrame =
-    flag(docs, words, n, m, k).where(!col("contaminated"))
-      .drop("n_flagged_grams", "contaminated")
+    admit(docs, BloomFilter.Filter(words, m, k), n)
 }

@@ -374,4 +374,21 @@ class CurationSpec extends SparkSpec {
     assert(kept == distinctChunks)
     assert(got.where(col("n_kept") > col("n_chunks")).count() == 0)
   }
+
+  test("selectToTokenBudget rejects nShards > granularity (Sharding contract twin)") {
+    val d = docs(1L -> "a b c")
+    intercept[IllegalArgumentException] {
+      Sampling.selectToTokenBudget(d, 10L, nShards = 64, granularity = 32)
+    }
+  }
+
+  test("ngramStream rejects carry columns colliding with working columns") {
+    val d = docs(1L -> "a b c d").withColumn("gram", lit("x"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramStream(d, 2, Seq("doc_id", "gram"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramStream(d.withColumnRenamed("gram", "_t"), 2, Seq("_t"))
+    }
+  }
 }
