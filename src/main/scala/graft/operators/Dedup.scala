@@ -88,7 +88,9 @@ object Dedup {
     val a = toks.select(col("doc_id").as("doc_a"), col("lang"),
       col("toks").as("toks_a"), col("n_toks").as("na"))
       .withColumn("size_bucket", sizeBucket(col("na"), threshold))
-      .withColumn("salt", pmod(col("doc_a"), lit(salts)).cast("int"))
+      // scrambled id (murmur3), not raw id mod salts: strided id
+      // allocation must not skew the salt spread (semDedup precedent)
+      .withColumn("salt", pmod(hash(col("doc_a")), lit(salts)).cast("int"))
     val bkt = sizeBucket(col("nb"), threshold)
     val b = toks.select(col("doc_id").as("doc_b"), col("lang"),
       col("toks").as("toks_b"), col("n_toks").as("nb"))
@@ -233,11 +235,26 @@ object Dedup {
         bd.toLong << 56 | (h & 0xffffffffffffL)
       }
     }
-    // distinct token sets feed the signature UDF; the exact-verify
-    // stage re-derives 64-bit HASH sets separately (see below)
-    val tk = docs.select(col("doc_id"),
-      TextAnalysis.sortedTokenSet(col("text")).as("toks"))
-    val sigs = tk.withColumn("sig", sigUdf(col("toks")))
+    // ONE tokenize pass over the corpus: a single projection computes
+    // both derived representations — the numPerm-long minhash signature
+    // (bucketing + the estimate gate) and the sorted 64-bit token-hash
+    // set (exact verify) — from one tokenSet evaluation, then
+    // localCheckpoints (the duplicateClusters/semDedup precedent). The
+    // five downstream consumers (bucket explode, both estimate-join
+    // sides, both verify-join sides) re-read ~(numPerm + |set|) longs
+    // per doc instead of each re-scanning and re-tokenizing the corpus;
+    // the signature UDF (numPerm hashes per token, the heaviest
+    // per-row step) also runs exactly once instead of per consumer.
+    // Minhash minima are order-independent, so the unsorted distinct
+    // set feeds the UDF directly.
+    val sigs = docs
+      .select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("_ts"))
+      .select(col("doc_id"),
+        sigUdf(col("_ts")).as("sig"),
+        array_sort(transform(col("_ts"),
+          t => graft.plans.Tok64Hash.tok64Col(docs.sparkSession, t)))
+          .as("htoks"))
+      .localCheckpoint()
 
     val buckets = sigs
       .select(col("doc_id"), explode(bandHashUdf(col("sig"))).as("bucket"))
@@ -275,13 +292,12 @@ object Dedup {
       .select("doc_a", "doc_b")
     // token attachment uses the 64-bit HASH sets (graft_tok64): the two
     // verify joins ship fixed-width longs instead of token strings to
-    // the million-pair survivor set, and skip the numPerm-permutation
-    // UDF entirely; intersection on hashes ≡ on strings up to
-    // 2⁻⁶⁴-scale collisions (property-tested vs the string answer)
-    val htk = docs.select(col("doc_id"),
-      sortedTokenHashSet(docs, col("text")).as("toks"))
-    val ta = htk.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val tb = htk.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    // the million-pair survivor set; intersection on hashes ≡ on
+    // strings up to 2⁻⁶⁴-scale collisions (property-tested vs the
+    // string answer). The sets come from the same checkpointed
+    // projection as the signatures — no second tokenize pass.
+    val ta = sigs.select(col("doc_id").as("doc_a"), col("htoks").as("toks_a"))
+    val tb = sigs.select(col("doc_id").as("doc_b"), col("htoks").as("toks_b"))
     val inter = graft.plans.SortedIntersectSize
       .intersectSizeCol(docs.sparkSession, col("toks_a"), col("toks_b"))
     survivors
