@@ -14,19 +14,32 @@ import graft.functions.TextAnalysis
   * document in place, so it composes with the dedup/quality passes
   * downstream of it.
   *
-  * Scale shape — three keyed shuffles, no windows, no driver state:
-  *  1. document frequency: distinct (doc, gram) pairs aggregate to
-  *     gram counts with map-side combine (gram-cardinality output);
-  *  2. occurrence marking: the per-position gram stream joins the
-  *     frequent-gram set on the gram key — no hint, because the
+  * Scale shape — keyed shuffles only, no windows, no driver state, and
+  * the corpus is READ ONCE:
+  *  1. the token arrays are localCheckpointed (one corpus-sized write,
+  *     the minhash/semDedup precedent) so the rebuild join re-reads
+  *     tokens instead of re-scanning + re-tokenizing the text;
+  *  2. the gram identity through every shuffle and join is the 64-bit
+  *     `graft_tok64` hash of the gram text, never the string: the
+  *     document-frequency distinct and the frequent-occurrence join
+  *     ship fixed 8-byte longs (gram strings are ~n tokens each — at
+  *     corpus scale they dominate the shuffle payload 3–10×). Hash
+  *     identity ≡ string identity up to 2⁻⁶⁴-scale collisions, the
+  *     same documented trade as the md5 fingerprint and the jaccard
+  *     verify sets; gram strings themselves never leave the map side;
+  *  3. occurrence marking joins the positional stream to the
+  *     frequent-hash set on the hash key — no hint, because the
   *     "frequent" side is corpus-dependent: AQE broadcasts it when the
   *     threshold leaves it dimension-sized and sort-merges when a low
   *     `minDf` on a huge corpus does not;
-  *  3. rebuild: matched START positions aggregate per doc (bounded by
-  *     the doc's own length), and the covered-position set, the kept
-  *     positions, and the rebuilt text are pure array expressions —
-  *     the corpus text itself moves through exactly one doc_id-keyed
-  *     join, never through the gram shuffles.
+  *  4. rebuild: start lists aggregate per doc (bounded by the doc's
+  *     own length), and covered/kept/rebuilt text are pure array
+  *     expressions — kept is `array_except` (hash-set linear in
+  *     doc length + covered size), never a per-position
+  *     `array_contains` scan, so a long document whose covered set
+  *     approaches its length stays O(L), not O(L·C). The corpus text
+  *     itself moves through exactly one doc_id-keyed join, never
+  *     through the gram shuffles.
   */
 object Boilerplate {
 
@@ -42,27 +55,31 @@ object Boilerplate {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDf >= 2, s"minDf < 2 would remove every token; got $minDf")
     val toks = docs.select(col("doc_id"),
-      TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))
-    // (doc, start position, gram) stream; sequence() would count DOWN
-    // for a doc shorter than n, so guard to an empty position array
+        TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))
+      .localCheckpoint()
+    // (doc, start position, gram-hash) stream; the gram string exists
+    // only transiently inside this map-side projection. sequence()
+    // would count DOWN for a doc shorter than n, so guard to an empty
+    // position array.
     val grams = toks
       .select(col("doc_id"), col("t"),
         explode(when(size(col("t")) >= n,
             sequence(lit(1), size(col("t")) - (n - 1)))
           .otherwise(array().cast("array<int>"))).as("p"))
       .select(col("doc_id"), col("p"),
-        concat_ws(" ", slice(col("t"), col("p"), lit(n))).as("gram"))
-    val frequent = grams.select("doc_id", "gram").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("df"))
-      .where(col("df") >= minDf).select("gram")
-    val starts = grams.join(frequent, Seq("gram"))
+        graft.plans.Tok64Hash.tok64Col(docs.sparkSession,
+          concat_ws(" ", slice(col("t"), col("p"), lit(n)))).as("gh"))
+    val frequent = grams.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf).select("gh")
+    val starts = grams.join(frequent, Seq("gh"))
       .groupBy("doc_id").agg(collect_list(col("p")).as("starts"))
     toks.join(starts, Seq("doc_id"), "left")
       .withColumn("covered", array_distinct(flatten(transform(
         coalesce(col("starts"), array().cast("array<int>")),
         i => sequence(i, i + (n - 1))))))
-      .withColumn("kept", filter(sequence(lit(1), size(col("t"))),
-        q => !array_contains(col("covered"), q)))
+      .withColumn("kept",
+        array_except(sequence(lit(1), size(col("t"))), col("covered")))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
         size(col("covered")).cast("long").as("n_removed"),

@@ -63,6 +63,21 @@ class BoilerplateSpec extends SparkSpec {
     assert(removed > 0 && removed < total)
   }
 
+  test("boilerplate: 50k-token doc with near-total coverage stays linear") {
+    // two copies of one 50k-token repeated phrase: every 3-gram has
+    // df=2, so the covered set IS the whole document — the worst case
+    // for a per-position membership scan (O(L·C) = 2.5e9 compares); the
+    // array_except rebuild is O(L) and finishes with the suite
+    val body = Array.fill(50000)("spam").mkString(" ")
+    val out = strip(docs(1L -> body, 2L -> body), 3, 2)
+    assert(out(1L) == ((50000L, 50000L, "")))
+    assert(out(2L) == ((50000L, 50000L, "")))
+    // and a partially-covered long doc keeps exactly the uncovered tail
+    val half = Array.fill(49997)("spam").mkString(" ") + " unique tail here"
+    val out2 = strip(docs(1L -> half, 2L -> body), 3, 2)
+    assert(out2(1L) == ((50000L, 49997L, "unique tail here")))
+  }
+
   test("domain gate: sources pass/fail together on aggregate signals") {
     def mk(src: String, id: Long, text: String) = (id, src, text)
     // srcA: long fluent docs (passes); srcB: short docs (fails avg);

@@ -198,6 +198,16 @@ class PlanAuditSpec extends SparkSpec {
     // token payload (the rebuild join); gram-side exchanges carry ids
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the documents table is READ (and tokenized) ONCE: the parquet
+    // scan happens only when the token arrays localCheckpoint; the
+    // plan's three branches (rebuild join, frequency, starts) re-read
+    // checkpoint blocks (ExistingRDD), never the file
+    assert(!plan.contains("FileScan"), plan.take(1500))
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(rddScans <= 3, s"$rddScans checkpoint scans:\n${plan.take(2000)}")
+    // gram identity through the shuffles is the 64-bit hash, never the
+    // gram string: no exchange may carry a 'gram' string column
+    assert(!plan.contains("gram#"), plan.take(2000))
   }
 
   test("q_domain_gate: corpus collapses to a source-sized aggregate, then re-joins") {
