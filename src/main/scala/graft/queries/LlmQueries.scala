@@ -756,36 +756,72 @@ object LlmQueries {
         .orderBy("event_type"),
       None),
 
-    // The stub features are pure byte arithmetic, so DuckDB reproduces
-    // them from hex(encode(text)) — a full independent oracle for the
-    // decode plumbing. Projection choices for hash parity: the float
-    // features cast to long (exact: byte sums stay far below 2^24);
-    // f_mean recomputed as the DOUBLE ratio of those longs (the stub's
-    // float division would differ in the last bits); f_mix (a
-    // position-dependent XOR fold) and batch_size (partition-layout-
-    // dependent by design) stay out of the oracled projection — both are
-    // asserted in LlmOperatorsSpec instead.
+    // A REAL byte-level image-header decode over constructed PNG/JPEG
+    // payloads: a third of the corpus becomes a PNG (signature + IHDR),
+    // a third a JPEG whose SOF frame sits behind a VARIABLE-length
+    // comment segment (so the Spark-side parser must walk marker
+    // segments), a third stays raw bytes (decoder yields nulls). The
+    // oracle rebuilds the identical payload hex in DuckDB and
+    // re-extracts width/height/depth FROM THE BYTES at the format's
+    // big-endian offsets — both engines parse the same blobs, neither
+    // knows the answer a priori. batch_size (partition-layout-dependent
+    // by design) stays out of the oracled projection — asserted in
+    // LlmOperatorsSpec instead, alongside hand-assembled byte arrays
+    // that pin the parser's endianness independently of construction.
     Q("q_multimodal_features",
-      (s, dir) => Multimodal.extractFeatures(s,
-          Multimodal.attachPayload(documents(s, dir)))
-        .select(col("doc_id"),
-          col("features")(0).cast("long").as("f_byte_len"),
-          col("features")(1).cast("long").as("f_byte_sum"))
-        .withColumn("f_mean", when(col("f_byte_len") === 0, lit(0.0))
-          .otherwise(col("f_byte_sum").cast("double") / col("f_byte_len")))
+      (s, dir) => Multimodal.decodeMedia(s,
+          Multimodal.attachImagePayload(documents(s, dir)))
+        .select("doc_id", "format", "width", "height", "bit_depth", "byte_len")
         .orderBy("doc_id"),
-      Some("""WITH b AS (SELECT doc_id,
-             |    CAST(octet_length(encode(text)) AS BIGINT) AS f_byte_len,
-             |    CAST(COALESCE(list_sum(list_transform(
-             |      regexp_extract_all(hex(encode(text)), '..'),
-             |      x -> (strpos('0123456789ABCDEF', x[1]) - 1) * 16
-             |           + strpos('0123456789ABCDEF', x[2]) - 1)), 0) AS BIGINT)
-             |      AS f_byte_sum
-             |  FROM documents)
-             |SELECT doc_id, f_byte_len, f_byte_sum,
-             |  CASE WHEN f_byte_len = 0 THEN 0.0
-             |       ELSE CAST(f_byte_sum AS DOUBLE) / f_byte_len END AS f_mean
-             |FROM b ORDER BY doc_id""".stripMargin)),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    doc_id % 3 AS fmt,
+             |    CAST(1 + n_chars % 640 AS INT) AS w,
+             |    CAST(1 + (n_chars * 7) % 480 AS INT) AS h,
+             |    octet_length(encode(COALESCE(source,''))) AS comlen,
+             |    octet_length(encode(COALESCE(text,''))) AS tlen,
+             |    hex(encode(COALESCE(source,''))) AS srchex
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, fmt, comlen, tlen,
+             |    CASE WHEN fmt = 0 THEN
+             |      '89504E470D0A1A0A0000000D49484452'
+             |      || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0')
+             |      || '080200000000000000'
+             |    WHEN fmt = 1 THEN
+             |      'FFD8FFE000104A46494600010100004800480000'
+             |      || 'FFFE' || lpad(hex(comlen + 2), 4, '0') || srchex
+             |      || 'FFC0001108' || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0')
+             |      || '03011100021101031101'
+             |    ELSE '' END AS hh
+             |  FROM d),
+             |x AS (
+             |  SELECT doc_id, fmt, tlen,
+             |    CASE WHEN fmt=0 THEN substr(hh,33,8)
+             |         WHEN fmt=1 THEN substr(hh, 2*(32+comlen)-1, 4) END AS whex,
+             |    CASE WHEN fmt=0 THEN substr(hh,41,8)
+             |         WHEN fmt=1 THEN substr(hh, 2*(30+comlen)-1, 4) END AS hhex,
+             |    CASE WHEN fmt=0 THEN substr(hh,49,2)
+             |         WHEN fmt=1 THEN substr(hh, 2*(29+comlen)-1, 2) END AS dhex,
+             |    length(hh)//2 AS headbytes
+             |  FROM c)
+             |SELECT doc_id,
+             |  CASE WHEN fmt=0 THEN 'png' WHEN fmt=1 THEN 'jpeg' END AS format,
+             |  CASE WHEN fmt=2 THEN NULL ELSE
+             |    CAST(list_sum(list_transform(regexp_extract_all(whex,'..'),
+             |      (p, i) -> ((strpos('0123456789ABCDEF',p[1])-1)*16
+             |                 + strpos('0123456789ABCDEF',p[2])-1)
+             |                * 256 ** (length(whex)//2 - i))) AS INT) END AS width,
+             |  CASE WHEN fmt=2 THEN NULL ELSE
+             |    CAST(list_sum(list_transform(regexp_extract_all(hhex,'..'),
+             |      (p, i) -> ((strpos('0123456789ABCDEF',p[1])-1)*16
+             |                 + strpos('0123456789ABCDEF',p[2])-1)
+             |                * 256 ** (length(hhex)//2 - i))) AS INT) END AS height,
+             |  CASE WHEN fmt=2 THEN NULL ELSE
+             |    CAST((strpos('0123456789ABCDEF',dhex[1])-1)*16
+             |         + strpos('0123456789ABCDEF',dhex[2])-1 AS INT) END AS bit_depth,
+             |  CAST(headbytes + tlen AS BIGINT) AS byte_len
+             |FROM x ORDER BY doc_id""".stripMargin)),
 
     // ----- corpus curation: decontamination / repetition / chunking /
     // ----- mixture / end-to-end dedup removal -----------------------------

@@ -314,30 +314,57 @@ class LlmOperatorsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: payload schema + batched stub decode") {
-    val media = Multimodal.attachPayload(
-      spark.read.parquet(s"$sf/documents.parquet"))
+  test("multimodal: payload schema + batched real header decode") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(Multimodal.attachPayload(docs)
+      .schema("payload").dataType.typeName === "binary")
+    val media = Multimodal.attachImagePayload(docs)
     assert(media.schema("payload").dataType.typeName === "binary")
-    val feats = Multimodal.extractFeatures(spark, media, batchSize = 16)
-      .collect()
-    assert(feats.nonEmpty)
+    val out = Multimodal.decodeMedia(spark, media, batchSize = 16).collect()
+    assert(out.nonEmpty)
     // batch shape: every row decoded within a batch of <= 16
-    assert(feats.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 16))
-    assert(feats.exists(_.getInt(2) > 1))
-    // the FULL 4-float vector (incl. f_mix, which the registry's oracled
-    // projection deliberately omits) matches the stub applied locally
-    val payloads = media.select("doc_id", "payload").collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-    feats.foreach { r =>
-      assert(r.getSeq[Float](1).toSeq ===
-        Multimodal.decodeBytesStub(payloads(r.getLong(0))).toSeq)
+    assert(out.forall(r => r.getInt(6) >= 1 && r.getInt(6) <= 16))
+    assert(out.exists(_.getInt(6) > 1))
+    // format assignment and parsed dimensions match the construction
+    val meta = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (1 + meta(id) % 640, 1 + meta(id) * 7 % 480)
+      (id % 3) match {
+        case 0 =>
+          assert(r.getString(1) == "png" && r.getInt(2) == w &&
+            r.getInt(3) == h && r.getInt(4) == 8, s"doc $id: $r")
+        case 1 =>
+          assert(r.getString(1) == "jpeg" && r.getInt(2) == w &&
+            r.getInt(3) == h && r.getInt(4) == 8, s"doc $id: $r")
+        case _ =>
+          assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3), s"doc $id: $r")
+      }
     }
   }
 
-  test("decode stub is deterministic") {
-    val bytes = "hello world".getBytes("UTF-8")
-    assert(Multimodal.decodeBytesStub(bytes).toSeq ===
-      Multimodal.decodeBytesStub(bytes).toSeq)
-    assert(Multimodal.decodeBytesStub(bytes).head === bytes.length.toFloat)
+  test("image header parse: real-world byte edge cases") {
+    import Multimodal.decodeImageHeader
+    // hand-assembled 3x5 PNG, depth 16
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 3, 0, 0, 0, 5, 16, 2, 0, 0, 0, 1, 2, 3, 4).map(_.toByte)
+    assert(decodeImageHeader(png) == (("png", 3, 5, 16)))
+    // JPEG whose SOF0 sits after TWO variable-length segments
+    val jpeg = Array[Int](0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x04, 1, 2,       // APP0, len 4
+      0xFF, 0xFE, 0x00, 0x05, 7, 8, 9,    // COM, len 5
+      0xFF, 0xC0, 0x00, 0x11, 8, 0x01, 0x00, 0x02, 0x00, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte)
+    assert(decodeImageHeader(jpeg) == (("jpeg", 512, 256, 8)))
+    // truncation, wrong magic, empty — all survive as nulls
+    assert(decodeImageHeader(png.take(27)) == (("png", null, null, null)))
+    assert(decodeImageHeader(jpeg.take(6))._1 == "jpeg")
+    assert(decodeImageHeader("plain text".getBytes("UTF-8")) ==
+      ((null, null, null, null)))
+    assert(decodeImageHeader(Array.empty[Byte]) == ((null, null, null, null)))
+    // determinism
+    assert(decodeImageHeader(jpeg) == decodeImageHeader(jpeg))
   }
 }
