@@ -95,7 +95,11 @@ object Sampling {
       .orderBy(col("_pri"), col(idCol))
     val w2 = Window.partitionBy(col(keyCol)).orderBy(col("_pri"), col(idCol))
     df.withColumn("_pri", portableBucket(col(idCol), seed))
-      .withColumn("_salt", pmod(col(idCol), lit(salts.toLong)))
+      // scrambled id (murmur3), not raw id mod salts: strided id
+      // allocation must not skew the salt spread; the union of per-salt
+      // top-k sets contains the global top-k for ANY salt assignment,
+      // so stage 2 returns the identical result
+      .withColumn("_salt", pmod(hash(col(idCol)), lit(salts)))
       .withColumn("_r1", row_number().over(w1))
       .where(col("_r1") <= k)
       .withColumn("cap_rank", row_number().over(w2).cast("long"))

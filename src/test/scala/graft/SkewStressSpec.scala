@@ -1,0 +1,114 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, SkewJoin}
+
+/** Skew stress for the salted operators: a 100×-hot key driven through
+  * [[Sampling.cappedPerKey]] and [[SkewJoin.saltedInner]], with REAL
+  * task metrics (a SparkListener on shuffle-read record counts)
+  * asserting the scaladocs' claim — the hot key's rows spread over the
+  * salt space, so no task of the heavy shuffle stage reads more than 2×
+  * the mean. The unsalted formulation of the same join is probed first
+  * to prove the probe discriminates (its hot task exceeds 2×).
+  */
+class SkewStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Per-stage shuffle-read record counts of every task. */
+  private class RecordsListener extends SparkListener {
+    val byStage = TrieMap[Int, ArrayBuffer[Long]]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      if (t.taskMetrics != null)
+        byStage.getOrElseUpdate(t.stageId, ArrayBuffer()) +=
+          t.taskMetrics.shuffleReadMetrics.recordsRead
+    }
+  }
+
+  /** Run `action`, return the per-task record counts of the heaviest
+    * shuffle stage (the one reading the most records in total) once the
+    * listener has observed at least `minTotal` records there. */
+  private def heavyStageTasks(minTotal: Long)(action: => Unit): Seq[Long] = {
+    val l = new RecordsListener
+    spark.sparkContext.addSparkListener(l)
+    try {
+      action
+      val deadline = System.nanoTime() + 15000000000L
+      while (System.nanoTime() < deadline &&
+          !l.byStage.values.exists(_.sum >= minTotal))
+        Thread.sleep(50)
+      val heavy = l.byStage.values.maxBy(_.sum)
+      assert(heavy.sum >= minTotal, s"listener saw only ${heavy.sum} records")
+      heavy.toSeq
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private def maxOverMean(tasks: Seq[Long]): Double = {
+    val busy = tasks.filter(_ > 0)
+    busy.max.toDouble / (busy.sum.toDouble / busy.size)
+  }
+
+  // 100×-hot corpus: key "hot" owns 10k rows, 100 cold keys own 100 each
+  private def skewed: DataFrame = {
+    val hot = (1 to 10000).map(i => ("hot", i.toLong * 7L))
+    val cold = for (k <- 1 to 100; i <- 1 to 100)
+      yield (s"cold$k", 100000L + k * 1000L + i)
+    (hot ++ cold).toDF("key", "doc_id")
+  }
+
+  private def withoutAqe[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("unsalted join of the hot corpus DOES overload one task (probe sanity)") {
+    withoutAqe {
+      val dim = skewed.select("key").distinct()
+      val tasks = heavyStageTasks(20000L) {
+        // no broadcast: force both sides through the shuffle
+        val fact = skewed.hint("shuffle_merge")
+        assert(fact.join(dim, Seq("key")).count() == 20000L)
+      }
+      assert(maxOverMean(tasks) > 2.0,
+        s"expected skew, got spread $tasks")
+    }
+  }
+
+  test("saltedInner spreads the hot key: no task reads >2x the mean") {
+    withoutAqe {
+      val dim = skewed.select("key").distinct()
+      val tasks = heavyStageTasks(20000L) {
+        val out = SkewJoin.saltedInner(skewed.hint("shuffle_merge"), dim,
+          "key", salts = 16)
+        assert(out.count() == 20000L)
+      }
+      assert(maxOverMean(tasks) <= 2.0,
+        s"hot key re-concentrated: $tasks")
+    }
+  }
+
+  test("cappedPerKey stage-1 window spreads the hot key over the salts") {
+    withoutAqe {
+      // the full 20.2k rows never reach the wire: Spark's partial
+      // WindowGroupLimit prunes the rank filter map-side, so the heavy
+      // (key, salt) window stage reads the ~7.5k partial-top-k rows;
+      // the salt must still spread THOSE evenly (at real scale the
+      // partial output is nInputPartitions×k per hot key — without the
+      // salt all of it converges on one reducer)
+      val tasks = heavyStageTasks(5000L) {
+        val out = Sampling.cappedPerKey(skewed, "key", k = 5, salts = 16)
+        // correctness under skew: every key capped at exactly min(n, 5)
+        val counts = out.groupBy("key").count()
+          .as[(String, Long)].collect().toMap
+        assert(counts("hot") == 5L && counts.size == 101 &&
+          counts.values.forall(_ == 5L))
+      }
+      assert(maxOverMean(tasks) <= 2.0,
+        s"hot key re-concentrated: $tasks")
+    }
+  }
+}
