@@ -385,16 +385,28 @@ object Similarity {
     asg.join(pruned, Seq("vec_id"), "left_anti").select("vec_id", "list_id")
   }
 
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  /** Exact all-pairs cosine ≥ threshold within each label block.
+    * Inherently quadratic per block — the sf1.0 bench measured it
+    * superlinear (pairs grow with block²); the 100 TB paths are
+    * [[semDedupSurvivors]] / LSH, which bound block sizes. What IS
+    * fixable at this exactness level is parallelism: the join key
+    * carries a salt (a-side by scrambled id, b-side replicated — the
+    * semDedup pattern), so the quadratic work spreads over
+    * salts × labels tasks instead of capping at the handful of labels. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+                         salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
     val v = emb.select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("vec"))
       .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
     val a = v.select(col("vec_id").as("vec_a"), col("label"),
       col("vec").as("va"), col("nrm").as("nrm_a"))
+      .withColumn("_salt", pmod(hash(col("vec_a")), lit(salts)).cast("int"))
     val b = v.select(col("vec_id").as("vec_b"), col("label"),
       col("vec").as("vb"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("label"))
+      .withColumn("_salt", explode(lit((0 until salts).toArray)))
+    a.join(b, Seq("label", "_salt"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cos6",
         round(ndot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
