@@ -52,7 +52,7 @@ object Bench {
     val heavy = Set("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
       "q_dedup_simhash_pairs", "q_embed_ann_ivf", "q_dedup_clusters",
       "q_bloom_decontaminate", "q_text_lm_score", "q_neardup_prune",
-      "q_embed_semdedup", "q_embed_ann_lsh")
+      "q_embed_semdedup", "q_embed_ann_lsh", "q_x3_fuzzy_prefix_join")
     // a failing query must be VISIBLE in the output, not silently timed
     // as a fast success deflating the total
     val failed = scala.collection.mutable.SortedSet[String]()

@@ -63,11 +63,19 @@ object GenScale {
 
     write(read("region"), "region", 1)
     write(read("nation"), "nation", 1)
+    // names re-derive from the SHIFTED key (same "Entity#%09d" shape as
+    // the source): verbatim name copies across replicas would multiply
+    // every fuzzy/edit-distance answer ~quadratically, the same trap the
+    // document-text rewrite below avoids for dedup
     write(reps(read("customer")) { (d, r) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(r * custS))
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
     }, "customer", 4)
     write(reps(read("supplier")) { (d, r) =>
       d.withColumn("s_suppkey", col("s_suppkey") + lit(r * suppS))
+        .withColumn("s_name",
+          concat(lit("Supplier#"), lpad(col("s_suppkey").cast("string"), 9, "0")))
     }, "supplier", 1)
     write(reps(read("part")) { (d, r) =>
       d.withColumn("p_partkey", col("p_partkey") + lit(r * partS))
