@@ -240,6 +240,32 @@ object TextAnalysis {
     }
   }
 
+  /** PII redaction patterns — the CCNet/Dolma-style curation scrub.
+    * Deliberately RE2-compatible (no backrefs, no lookaround) so the
+    * DuckDB oracle evaluates the IDENTICAL patterns: emails, IPv4
+    * addresses, and international-format phone numbers. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+
+  /** Redact PII spans to fixed placeholder tokens, appending per-kind
+    * match counts. Order matters and is part of the contract: emails
+    * first (an email's host part could otherwise be half-eaten by the
+    * IP pattern), then IPs, then phones — counts are measured on the
+    * original text, replacements applied sequentially. Pure codegen'd
+    * column expressions; one map-side pass, no shuffle. */
+  def redactPii(text: Column): (Column, Column, Column, Column) = {
+    val nEmail = size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long")
+    val nIp = size(regexp_extract_all(text, lit(ipv4Pattern), lit(0))).cast("long")
+    val nPhone = size(regexp_extract_all(text, lit(phonePattern), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+    (redacted, nEmail, nIp, nPhone)
+  }
+
   /** Per-document quality metrics frame: doc_id + token/char/punct/
     * stopword counts and ratio features. */
   def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -375,6 +375,46 @@ object LlmQueries {
              |            ELSE u END AS BIGINT) AS fingerprint64
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // PII redaction (the CCNet/Dolma scrub pass): synthetic emails / IPs
+    // / phone numbers are INJECTED deterministically into half the
+    // corpus (the raw corpus carries none, which would verify only the
+    // no-op path), then scrubbed to placeholder tokens with per-kind
+    // counts. Patterns are RE2-compatible so both engines evaluate the
+    // identical regexes; one map-side pass, no shuffle, pure codegen.
+    Q("q_text_pii_redact",
+      (s, dir) => {
+        val injected = documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" reach me at user"),
+              col("doc_id").cast("string"),
+              lit("@example.com or +1-555-0199 host 10."),
+              (col("doc_id") % 256).cast("string"), lit(".0.1")))
+            .otherwise(col("text")).as("text"))
+        val (red, ne, ni, np) = TextAnalysis.redactPii(col("text"))
+        injected.select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"),
+            np.as("n_phones"), red.as("redacted_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN
+             |      text || ' reach me at user' || doc_id
+             |        || '@example.com or +1-555-0199 host 10.'
+             |        || (doc_id % 256) || '.0.1'
+             |    ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '${TextAnalysis.emailPattern}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text,
+             |    '${TextAnalysis.ipv4Pattern}')) AS BIGINT) AS n_ips,
+             |  CAST(len(regexp_extract_all(text,
+             |    '${TextAnalysis.phonePattern}')) AS BIGINT) AS n_phones,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+             |    '${TextAnalysis.ipv4Pattern}', '<IP>', 'g'),
+             |    '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS redacted_text
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ----- dedup ----------------------------------------------------------
 
     // Threshold 0.9 ("almost identical"): this synthetic corpus draws all

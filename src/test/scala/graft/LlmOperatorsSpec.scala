@@ -344,6 +344,27 @@ class LlmOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction: counts on original text, ordered replacement") {
+    import graft.functions.TextAnalysis
+    val rows = Seq(
+      (1L, "mail a.b+c@sub.example.org and 192.168.0.1 or call +44-207-946-0958"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io y@z.ai one ip 8.8.8.8"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val (red, ne, ni, np) = TextAnalysis.redactPii(col("text"))
+    val out = rows.select(col("doc_id"), ne, ni, np, red)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L,
+      "mail <EMAIL> and <IP> or call <PHONE>")))
+    assert(out(2L) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(out(3L) == ((2L, 1L, 0L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+    assert(out(4L)._4 == null)
+  }
+
   test("image header parse: real-world byte edge cases") {
     import Multimodal.decodeImageHeader
     // hand-assembled 3x5 PNG, depth 16
