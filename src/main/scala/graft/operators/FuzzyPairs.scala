@@ -91,8 +91,9 @@ object FuzzyPairs {
     prefCand.unionByName(smallCand).distinct()
       .join(names.select(col("_id").as("id_a"), col("_name").as("_na")), "id_a")
       .join(names.select(col("_id").as("id_b"), col("_name").as("_nb")), "id_b")
-      .withColumn("dist", levenshtein(col("_na"), col("_nb")))
-      .where(col("dist") <= maxEdits)
+      // bounded levenshtein (banded O(k·n), early exit; -1 above bound)
+      .withColumn("dist", levenshtein(col("_na"), col("_nb"), maxEdits + 1))
+      .where(col("dist") >= 0 && col("dist") <= maxEdits)
       .select("id_a", "id_b", "dist")
   }
 }

@@ -346,6 +346,12 @@ object RelationalQueries {
         // aggregate gets map-side partial aggregation, so the candidate
         // explosion combines before the shuffle instead of fully
         // sorting. Tie-break by c_custkey makes the argmin total.
+        // plain (unbounded) levenshtein on purpose: the cutoff here
+        // (~0.35·len ≈ 6 on 18-char names) gives a band of 2k+1 = 13+,
+        // nearly the whole matrix — the thresholded variant's banding
+        // cannot prune and its bookkeeping measured 2.5× SLOWER at
+        // sf1.0 (39 → 95 s). Bounded levenshtein pays only when
+        // k ≪ len (see FuzzyPairs, k = 1).
         sup.join(cus, Seq("nk", "len_bucket"))
           .withColumn("dist", levenshtein(col("s_name"), col("c_name")))
           .where(col("dist") <= (lit(1.0) - t) * greatest(col("la"), col("lb")))
