@@ -99,12 +99,23 @@ object Similarity {
               tables: Int = 8, bits: Int = 8): DataFrame = {
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val planes = hyperplanes(tables, bits, dim)
-    val bucketUdf = udf { (vec: Seq[Double]) => bucketIds(planes)(vec) }
 
     val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
+    // buckets as PURE codegen expressions: one native dot product per
+    // (table, bit) against a literal plane array, sign bits OR-folded by
+    // integer adds (bits are disjoint). Bit-identical to the former UDF
+    // (same sequential double summation, same strict > 0 test — the
+    // DuckDB oracle replays the LCG planes), but no per-row Seq boxing:
+    // the UDF measured ~190 µs/row at sf1.0, dominating the query.
+    def bucketCols(vec: Column): Column = array((0 until tables).map { t =>
+      (0 until bits).map { b =>
+        when(ndot(typedLit(planes(t)(b).toSeq), vec) > 0.0, 1L << b)
+          .otherwise(0L)
+      }.reduce(_ + _) + lit(t.toLong << 32)
+    }: _*)
     val v0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
-    val v = v0.withColumn("bucket", explode(bucketUdf(col("vec"))))
+    val v = v0.withColumn("bucket", explode(bucketCols(col("vec"))))
     val q = v.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bucket"))
     val c = v.where(col("vec_id") >= nQueries)
