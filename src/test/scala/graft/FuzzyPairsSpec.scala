@@ -59,6 +59,17 @@ class FuzzyPairsSpec extends SparkSpec {
       (p._1 == 1L && p._2 == 7L)))
   }
 
+  test("layout-independent: same pairs under repartition") {
+    val rows = (1 to 150).map(i =>
+      (i.toLong, f"Customer#${i * 13 % 500}%09d", s"n${i % 2}"))
+    val a = run(rows, 2)
+    val b = FuzzyPairs.editPairs(
+        rows.toDF("id", "name", "blk").repartition(13),
+        "id", "name", "blk", maxEdits = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("randomized perturbations: parity with brute force, k = 3") {
     val rnd = new scala.util.Random(7)
     val base = Seq("alpha beta gamma", "delta epsilon", "Customer#12345",

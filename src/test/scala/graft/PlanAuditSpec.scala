@@ -96,6 +96,16 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("q_x3_fuzzy_prefix_join: candidates from an equi-join on (block, gram)") {
+    val plan = executed("q_x3_fuzzy_prefix_join")
+    // the scalable fuzzy path must never degenerate to a cross product;
+    // its candidate key is the prefix-gram vocabulary, which grows with
+    // the corpus (unlike q_x2's fixed nation x length-bucket blocks)
+    assert(plan.contains("gram"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("q_dedup_ngram_jaccard: candidate join key includes the size bucket") {
     val plan = executed("q_dedup_ngram_jaccard")
     assert(plan.contains("size_bucket"), plan.take(1500))
