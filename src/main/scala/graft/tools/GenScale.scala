@@ -31,6 +31,11 @@ object GenScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "testdata-sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // token-suffix tag: MUST differ between stacked invocations (sf0.1
+    // -> sf1 with "r", sf1 -> sf10 with "s", ...) — otherwise
+    // "data"+r3 at level 2 collides with level-1 "datar3", recreating
+    // verbatim cross-replica duplicates and inflating dedup answers
+    val tag = if (args.length > 3) args(3) else "r"
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -98,7 +103,7 @@ object GenScale {
         if (r == 0) col("text")
         else concat_ws(" ",
           transform(split(trim(col("text")), "\\s+"),
-            t => concat(t, lit(s"r$r"))))
+            t => concat(t, lit(s"$tag$r"))))
       d.withColumn("doc_id", col("doc_id") + lit(r * docS))
         .withColumn("text", text)
         .withColumn("n_chars", length(col("text")).cast("long"))
