@@ -50,58 +50,118 @@ object Dedup {
     array_sort(transform(TextAnalysis.tokenSet(text),
       t => graft.plans.Tok64Hash.tok64Col(docs.sparkSession, t)))
 
+  /** One-pass token-set projection: (doc_id, lang, toks, n_toks) with
+    * `toks` the sorted 64-bit token-hash set. Package-private so specs
+    * can feed [[prefixTokens]] directly. */
+  private[graft] def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      sortedTokenHashSet(docs, col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+
+  /** Prefix-filter token stream (AllPairs/ppjoin family; Bayardo et al.
+    * WWW'07, Xiao et al. WWW'08): each document's `n − ⌈t·n⌉ + 1`
+    * globally RAREST tokens under the total order (document frequency
+    * asc, token hash asc). For any pair with J ≥ t, the smallest
+    * common token in that order provably lies in BOTH prefixes — if it
+    * didn't lie in A's, at least |A| − ⌈t·|A|⌉ + 1 tokens of A would
+    * precede every common token, forcing |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤
+    * t·|A∪B|, contradicting J ≥ t — so an equi-join on a shared prefix
+    * token is a LOSSLESS candidate generator whose key cardinality is
+    * the token vocabulary: it grows with the corpus, and documents with
+    * no tokens in common (e.g. different crawl shards/languages) never
+    * meet at all. The 1e-9 slack inside ceil only ever LENGTHENS a
+    * prefix when t·n sits on an exact-integer boundary that floating
+    * multiplication overshoots, so it cannot lose pairs.
+    *
+    * Returns (doc_id, lang, n_toks, tok) — one row per prefix token.
+    * Both shuffles scale linearly: the df aggregate map-side combines
+    * on the token, the rank window partitions per document. */
+  private[graft] def prefixTokens(toks: DataFrame,
+                                  threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = toks.select(col("doc_id"), col("lang"), col("n_toks"),
+      explode(col("toks")).as("tok"))
+    // toks holds SETS, so the occurrence count is the document frequency
+    val dfT = ex.groupBy("tok").agg(count(lit(1)).as("_df"))
+    val p = col("n_toks") -
+      ceil(col("n_toks") * lit(threshold) - lit(1e-9)) + lit(1)
+    // no broadcast hint: the vocabulary is corpus-sized at scale (AQE
+    // broadcasts the few-MB df table itself at test scale)
+    ex.join(dfT, "tok")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("_df"), col("tok"))))
+      .where(col("_rk") <= p)
+      .select("doc_id", "lang", "n_toks", "tok")
+  }
+
   /** Word-set Jaccard similarity pairs with J ≥ threshold. Returns
     * (doc_a, doc_b, jaccard), doc_a < doc_b.
     *
-    * Blocking key = (lang, ln-scale size bucket). J ≥ t requires
-    * min(|A|,|B|) ≥ t·max(|A|,|B|) — a *necessary* condition — so a
-    * qualifying pair's ln-sizes differ by ≤ ln(1/t). With bucket width
-    * ln(1/t), their buckets differ by at most 1: side a pins its own
-    * bucket, side b replicates to {b−1, b, b+1} (the
-    * [[TemporalJoins.withinRange]] pattern), and every qualifying pair
-    * matches exactly once — in a's unique bucket. No true pair is lost;
-    * size-incompatible pairs never materialize at all.
+    * Candidate key = (lang, ln-scale size bucket, shared prefix token) —
+    * the conjunction of two *necessary* conditions, each lossless:
+    *  - size compatibility: J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|),
+    *    so with bucket width ln(1/t) a qualifying pair's buckets differ
+    *    by ≤ 1 — side a pins its own bucket, side b replicates to
+    *    {b−1, b, b+1} (the [[TemporalJoins.withinRange]] pattern);
+    *  - prefix filter: the pair must share one of each side's rarest
+    *    `n − ⌈t·n⌉ + 1` tokens ([[prefixTokens]]).
+    * A pair sharing m prefix tokens matches m times, so candidates pass
+    * through a pair-key `distinct` BEFORE the verify join attaches the
+    * token arrays (the [[minhashLshPairs]] payload discipline): the
+    * two-pointer intersect runs once per candidate pair.
     *
-    * Scale: unlike a lang-only key (~5 distinct values ⇒ the pair
-    * explosion of each language runs in ONE task), the key cardinality
-    * here is langs × occupied size buckets and grows with corpus
-    * diversity, so the shuffle parallelizes. `salts` multiplies
-    * parallelism further for residual skew (side a pins a
-    * doc-id-derived salt, side b replicates across all N — output
-    * identical); default 1 because the 3× bucket replication already
-    * dominates while the token table fits a broadcast.
+    * Scale: the r9 sf10 (100×) run exposed the previous
+    * (lang, size_bucket)-only key as quadratic — bucket COUNT is fixed
+    * by the size distribution, so 10× corpus ⇒ 100× pairs per bucket,
+    * and the hottest bucket ran in ONE task for 46+ minutes. The prefix
+    * token component makes the key cardinality grow with the
+    * VOCABULARY: disjoint-vocabulary documents (other crawl shards,
+    * other languages) generate zero candidates, and residual hot-token
+    * skew is AQE-splittable because the quadratic work is spread over
+    * (bucket × token) cells. `salts` multiplies parallelism further for
+    * residual skew (side a pins a scrambled-doc-id salt, side b
+    * replicates across all N — output identical); default 1 because the
+    * 3× bucket replication already dominates.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    salts: Int = 1): DataFrame = {
-    // sorted token-HASH sets: the exact-verify intersection below runs
-    // as an allocation-free two-pointer merge over fixed-width longs
-    // (native codegen'd expressions) instead of a per-pair hash set of
-    // strings — the verify stage dominates this operator's cost, the
-    // hash+sort amortizes across a document's pairs, and the b-side
-    // bucket replication shuffles 8-byte longs, not token strings.
+    // ONE tokenize pass (localCheckpoint, the minhashLshPairs
+    // precedent): four consumers — the df aggregate and the prefix
+    // stream inside prefixTokens, and both verify-side attach joins —
+    // re-read ~|set| longs per doc instead of re-scanning the corpus.
     // Token identity via the 64-bit graft_tok64 ≡ string identity up
     // to 2⁻⁶⁴-scale collisions (the md5-fingerprint trade; equality
     // with the string formulation is property-tested).
-    val toks = docs.select(col("doc_id"), col("lang"),
-      sortedTokenHashSet(docs, col("text")).as("toks"))
-      .withColumn("n_toks", size(col("toks")))
-    val a = toks.select(col("doc_id").as("doc_a"), col("lang"),
-      col("toks").as("toks_a"), col("n_toks").as("na"))
+    val toks = tokenSets(docs).localCheckpoint()
+    // the prefix stream is doc×prefix-sized (≪ corpus tokens);
+    // checkpoint once so the self-join's two sides don't each re-run
+    // the df aggregate + rank window
+    val pfx = prefixTokens(toks, threshold).localCheckpoint()
+    val a = pfx.select(col("doc_id").as("doc_a"), col("lang"),
+      col("tok"), col("n_toks").as("na"))
       .withColumn("size_bucket", sizeBucket(col("na"), threshold))
       // scrambled id (murmur3), not raw id mod salts: strided id
       // allocation must not skew the salt spread (semDedup precedent)
       .withColumn("salt", pmod(hash(col("doc_a")), lit(salts)).cast("int"))
     val bkt = sizeBucket(col("nb"), threshold)
-    val b = toks.select(col("doc_id").as("doc_b"), col("lang"),
-      col("toks").as("toks_b"), col("n_toks").as("nb"))
+    val b = pfx.select(col("doc_id").as("doc_b"), col("lang"),
+      col("tok"), col("n_toks").as("nb"))
       .withColumn("size_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
       .withColumn("salt", explode(lit((0 until salts).toArray)))
-    val inter = graft.plans.SortedIntersectSize
-      .intersectSizeCol(docs.sparkSession, col("toks_a"), col("toks_b"))
-    a.join(b, Seq("lang", "size_bucket", "salt")).drop("salt", "size_bucket")
+    val cand = a.join(b, Seq("lang", "size_bucket", "tok", "salt"))
       .where(col("doc_a") < col("doc_b") &&
         col("na") >= col("nb") * threshold &&
         col("nb") >= col("na") * threshold)
+      .select("doc_a", "doc_b")
+      .distinct()
+    // fixed-width long arrays attach to the DEDUPED candidate set only
+    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      col("n_toks").as("na"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      col("n_toks").as("nb"))
+    val inter = graft.plans.SortedIntersectSize
+      .intersectSizeCol(docs.sparkSession, col("toks_a"), col("toks_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("inter", inter)
       // raw int/int division — bit-identical in any engine, so no ROUND
       // (which Spark and DuckDB perform differently on binary doubles)

@@ -55,12 +55,44 @@ class LlmOperatorsSpec extends SparkSpec {
 
   test("jaccard blocking-key cardinality scales with the corpus, not #langs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val keys = docs.select(col("lang"),
-        Dedup.sizeBucket(size(graft.functions.TextAnalysis.tokenSet(col("text"))), 0.9).as("b"))
-      .distinct().count()
+    // candidate key = (lang, size_bucket, prefix token): its cardinality
+    // is bounded below by the distinct (lang, prefix-token) pairs — the
+    // vocabulary-scaling component that keeps per-cell pair work bounded
+    // as the corpus grows (the r9 sf10 run showed the size bucket alone
+    // caps at a fixed count ⇒ quadratic per-bucket work in one task)
+    val keys = Dedup.prefixTokens(Dedup.tokenSets(docs), 0.9)
+      .select("lang", "tok").distinct().count()
     val langs = docs.select("lang").distinct().count()
     assert(keys >= langs * 3,
       s"only $keys blocking keys for $langs langs — pair explosion would run at #langs parallelism")
+    // and the prefix stream itself is doc×prefix-sized, not corpus-token-sized
+    val nDocs = docs.count()
+    val pfxRows = Dedup.prefixTokens(Dedup.tokenSets(docs), 0.9).count()
+    assert(pfxRows >= nDocs, s"prefix stream $pfxRows rows < $nDocs docs")
+  }
+
+  test("jaccard prefix filter is lossless vs a brute-force same-lang join") {
+    // exact answer via an unblocked O(n²) join on the tiny spec corpus
+    val t = 0.5
+    val toks = Dedup.tokenSets(corpus)
+    val l = toks.select(col("doc_id").as("doc_a"), col("lang"),
+      col("toks").as("ta"), col("n_toks").as("na"))
+    val r = toks.select(col("doc_id").as("doc_b"), col("lang"),
+      col("toks").as("tb"), col("n_toks").as("nb"))
+    val brute = l.join(r, "lang")
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", graft.plans.SortedIntersectSize
+        .intersectSizeCol(spark, col("ta"), col("tb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= t)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val blocked = Dedup.jaccardPairs(corpus, t)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty)
   }
 
   test("minhash estimate prefilter keeps every true pair (property, b=8 r=8)") {

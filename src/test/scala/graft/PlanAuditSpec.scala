@@ -106,9 +106,13 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
-  test("q_dedup_ngram_jaccard: candidate join key includes the size bucket") {
+  test("q_dedup_ngram_jaccard: candidate key is size bucket + prefix token") {
     val plan = executed("q_dedup_ngram_jaccard")
+    // both blocking components must reach the candidate equi-join: the
+    // fixed-cardinality size bucket alone is quadratic at scale (r9
+    // sf10 finding); the prefix token key scales with the vocabulary
     assert(plan.contains("size_bucket"), plan.take(1500))
+    assert(plan.contains("tok"), plan.take(1500))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
