@@ -372,56 +372,27 @@ object RelationalQueries {
              |    <= (1.0 - 0.65) * greatest(len(s_name), len(c_name)))
              |WHERE rn = 1 ORDER BY s_suppkey""".stripMargin)),
 
-    // The LINEAR-SCALE fuzzy path (operators/FuzzyPairs): prefix-
-    // filtered q-gram similarity self-join — q_x2's block key is fixed
-    // (nation × length bucket), so when BOTH sides grow 10× its pair
-    // work grows 100× (measured superlinear at sf1.0, BASELINE.md r9);
-    // here the join key is the rarest-gram prefix vocabulary, whose
-    // cardinality grows WITH the corpus, and the exact levenshtein runs
-    // only on candidates sharing a rare gram. The oracle replays the
-    // whole pipeline (sentinel padding, df-ordered prefixes, small-set
-    // channel, verify) and equals brute force exactly.
+    // The LINEAR-SCALE fuzzy path (operators/FuzzyPairs): symmetric-
+    // deletion-signature similarity self-join — q_x2's block key is
+    // fixed (nation × length bucket), so when BOTH sides grow 10× its
+    // pair work grows 100× (measured superlinear at sf1.0, BASELINE.md
+    // r9); and q-gram prefix filtering saturates its vocabulary on
+    // digit-template names (measured quadratic → OOM at sf10). Here the
+    // join key is the ≤k-deletion variant hash, near-unique per string,
+    // so candidates track TRUE matches and the exact levenshtein runs
+    // only on them. Completeness is a theorem (shared-deletion-variant),
+    // so the oracle is plain brute force — the strongest check.
     Q("q_x3_fuzzy_prefix_join",
       (s, dir) => graft.operators.FuzzyPairs.editPairs(
           customer(s, dir).select("c_custkey", "c_name", "c_nationkey"),
           "c_custkey", "c_name", "c_nationkey", maxEdits = 1)
         .withColumn("dist", col("dist").cast("int"))
         .orderBy("id_a", "id_b"),
-      Some("""WITH r AS (
-             |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk,
-             |    repeat(chr(1), 2) || c_name || repeat(chr(1), 2) AS p
-             |  FROM customer),
-             |g0 AS (
-             |  SELECT id, blk, name, unnest(list_distinct(list_transform(
-             |    range(1, length(p) - 1), i -> substr(p, CAST(i AS INT), 3)))) AS gram
-             |  FROM r),
-             |ng AS (SELECT id, count(*) AS n_grams FROM g0 GROUP BY id),
-             |vocab AS (
-             |  SELECT gram, row_number() OVER (ORDER BY count(*), gram) AS rnk
-             |  FROM g0 GROUP BY gram),
-             |pref AS (
-             |  SELECT id, blk, gram FROM (
-             |    SELECT g0.id, g0.blk, g0.gram,
-             |      row_number() OVER (PARTITION BY g0.id ORDER BY v.rnk) AS pos
-             |    FROM g0 JOIN vocab v USING (gram))
-             |  WHERE pos <= 4),
-             |prefcand AS (
-             |  SELECT x.id AS id_a, y.id AS id_b
-             |  FROM pref x JOIN pref y
-             |    ON x.blk = y.blk AND x.gram = y.gram AND x.id < y.id),
-             |small AS (
-             |  SELECT r.id, r.blk, length(r.name) AS len
-             |  FROM r JOIN ng ON r.id = ng.id WHERE ng.n_grams <= 3),
-             |smallcand AS (
-             |  SELECT x.id AS id_a, y.id AS id_b
-             |  FROM small x JOIN small y ON x.blk = y.blk AND x.id < y.id
-             |    AND abs(x.len - y.len) <= 1),
-             |cand AS (SELECT DISTINCT id_a, id_b FROM (
-             |  SELECT * FROM prefcand UNION ALL SELECT * FROM smallcand))
-             |SELECT c.id_a, c.id_b,
-             |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
-             |FROM cand c JOIN r a ON c.id_a = a.id JOIN r b ON c.id_b = b.id
-             |WHERE levenshtein(a.name, b.name) <= 1
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+             |FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Semi/anti joins — SURVEY §2.11 lists them absent in the reference;
