@@ -282,6 +282,21 @@ object Dedup {
     * b=16, r=4). Candidates are generated ONLY within band buckets
     * (groupBy band+bucket), then verified with exact word-set Jaccard, so
     * the expensive comparison runs on a vanishing fraction of pairs.
+    *
+    * Shuffle discipline (the r9 sf10 lesson): dedup, the signature-
+    * agreement gate, and the exact verify ALL run inside the bucket-join
+    * stage, on rows that already carry the signature, the band-hash
+    * array, and the sorted token-hash set. The per-doc payload is
+    * ~(numPerm + bands + |tokens|) longs through ONE bucket exchange
+    * (reused for both join sides); nothing else shuffles. The previous
+    * formulation materialized the candidate ids (457M rows at sf10),
+    * `distinct()`ed them, then re-attached signatures and token sets
+    * with four corpus-wide joins — the second of which shipped a
+    * signature array per CANDIDATE (~240 GB at sf10) and measured 38×
+    * for 10× data. Pair dedup is now the canonical-occurrence filter:
+    * a pair is evaluated only in its FIRST shared band
+    * ([[graft.plans.FirstEqualIndex]]), which is exact dedup without a
+    * shuffle.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
                       bands: Int = 16, rows: Int = 4): DataFrame = {
@@ -296,15 +311,14 @@ object Dedup {
       }
     }
     // ONE tokenize pass over the corpus: a single projection computes
-    // both derived representations — the numPerm-long minhash signature
-    // (bucketing + the estimate gate) and the sorted 64-bit token-hash
-    // set (exact verify) — from one tokenSet evaluation, then
-    // localCheckpoints (the duplicateClusters/semDedup precedent). The
-    // five downstream consumers (bucket explode, both estimate-join
-    // sides, both verify-join sides) re-read ~(numPerm + |set|) longs
-    // per doc instead of each re-scanning and re-tokenizing the corpus;
-    // the signature UDF (numPerm hashes per token, the heaviest
-    // per-row step) also runs exactly once instead of per consumer.
+    // every derived representation — the numPerm-long minhash signature
+    // (the estimate gate), the bands-long band-hash array (bucketing +
+    // canonical-occurrence dedup), and the sorted 64-bit token-hash set
+    // (exact verify; intersection on graft_tok64 hashes ≡ on strings up
+    // to 2⁻⁶⁴-scale collisions, property-tested vs the string answer) —
+    // from one tokenSet evaluation, then localCheckpoints (the
+    // duplicateClusters/semDedup precedent). The signature UDF (numPerm
+    // hashes per token, the heaviest per-row step) runs exactly once.
     // Minhash minima are order-independent, so the unsorted distinct
     // set feeds the UDF directly.
     val sigs = docs
@@ -314,60 +328,39 @@ object Dedup {
         array_sort(transform(col("_ts"),
           t => graft.plans.Tok64Hash.tok64Col(docs.sparkSession, t)))
           .as("htoks"))
+      .withColumn("bhs", bandHashUdf(col("sig")))
       .localCheckpoint()
 
-    val buckets = sigs
-      .select(col("doc_id"), explode(bandHashUdf(col("sig"))).as("bucket"))
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("bucket"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-
-    // Two-stage verification: the cheap signature-agreement estimate
-    // (matching minhash components / numPerm, an unbiased J estimator)
-    // prunes candidates well below the threshold before the exact
-    // token-set intersection runs. The slack (0.15) keeps estimator
-    // variance from dropping true pairs (property-tested in
-    // LlmOperatorsSpec); final filter is EXACT Jaccard, so precision is
-    // unaffected.
-    //
-    // Payload discipline: on a shared-vocabulary corpus the band
-    // candidates are a large multiple of the true pairs, so the estimate
-    // gate joins SIGNATURES ONLY (fixed numPerm longs/row); the
-    // variable-width token sets are attached after the gate, to the
-    // small survivor set. No broadcast hints anywhere: at corpus scale
-    // these joins sort-merge on the doc id; at test scale AQE broadcasts
-    // the few-MB sig/token tables itself.
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    // native codegen'd positional-match count: the zip_with/aggregate
-    // HOF form is CodegenFallback (interpreted lambda + an intermediate
-    // array per pair), and this gate runs on EVERY band candidate
+    val brows = sigs.select(col("doc_id"), col("sig"), col("htoks"),
+      col("bhs"), explode(col("bhs")).as("bucket"))
+    // native codegen'd in-stage predicates (the zip_with/aggregate HOF
+    // forms are CodegenFallback: interpreted lambdas + an intermediate
+    // array per pair, and these run on every in-bucket occurrence)
+    val firstShared = graft.plans.FirstEqualIndex
+      .firstEqualIndexCol(docs.sparkSession, col("x.bhs"), col("y.bhs"))
     val estMatches = graft.plans.CountEqual
-      .countEqualCol(docs.sparkSession, col("sig_a"), col("sig_b"))
-    val survivors = cand
-      .join(sa, "doc_a")
-      .join(sb, "doc_b")
-      .where(estMatches >= lit(math.max(0.0, threshold - 0.15) * numPerm))
-      .select("doc_a", "doc_b")
-    // token attachment uses the 64-bit HASH sets (graft_tok64): the two
-    // verify joins ship fixed-width longs instead of token strings to
-    // the million-pair survivor set; intersection on hashes ≡ on
-    // strings up to 2⁻⁶⁴-scale collisions (property-tested vs the
-    // string answer). The sets come from the same checkpointed
-    // projection as the signatures — no second tokenize pass.
-    val ta = sigs.select(col("doc_id").as("doc_a"), col("htoks").as("toks_a"))
-    val tb = sigs.select(col("doc_id").as("doc_b"), col("htoks").as("toks_b"))
+      .countEqualCol(docs.sparkSession, col("x.sig"), col("y.sig"))
     val inter = graft.plans.SortedIntersectSize
-      .intersectSizeCol(docs.sparkSession, col("toks_a"), col("toks_b"))
-    survivors
-      .join(ta, "doc_a")
-      .join(tb, "doc_b")
+      .intersectSizeCol(docs.sparkSession, col("x.htoks"), col("y.htoks"))
+    brows.as("x").join(brows.as("y"), Seq("bucket"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      // canonical occurrence: a pair is in every shared band's bucket;
+      // keep only its FIRST shared band, so each unique pair is
+      // evaluated exactly once — dedup with ~bands compares, no shuffle
+      .where(shiftright(col("bucket"), 56).cast("int") === firstShared)
+      // signature-agreement estimate (matching components / numPerm, an
+      // unbiased J estimator) prunes pairs well below the threshold
+      // before the exact token-set intersection runs. The slack (0.15)
+      // keeps estimator variance from dropping true pairs
+      // (property-tested in LlmOperatorsSpec); the final filter is
+      // EXACT Jaccard, so precision is unaffected.
+      .where(estMatches >= lit(math.max(0.0, threshold - 0.15) * numPerm))
       .withColumn("inter", inter)
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+        (size(col("x.htoks")) + size(col("y.htoks")) - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("jaccard"))
   }
 
   /** 64-bit SimHash over the word set (unweighted votes). */

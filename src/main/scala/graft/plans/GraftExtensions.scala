@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CountEqual].getName, "graft_count_equal"),
       CountEqual.builder))
     ext.injectFunction((
+      FunctionIdentifier("graft_first_equal_index"),
+      new ExpressionInfo(classOf[FirstEqualIndex].getName,
+        "graft_first_equal_index"),
+      FirstEqualIndex.builder))
+    ext.injectFunction((
       FunctionIdentifier("graft_cp31u"),
       new ExpressionInfo(classOf[Cp31Hash].getName, "graft_cp31u"),
       Cp31Hash.builder))

@@ -96,12 +96,15 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
-  test("q_x3_fuzzy_prefix_join: candidates from an equi-join on (block, gram)") {
+  test("q_x3_fuzzy_prefix_join: candidates from an equi-join on (block, variant)") {
     val plan = executed("q_x3_fuzzy_prefix_join")
     // the scalable fuzzy path must never degenerate to a cross product;
-    // its candidate key is the prefix-gram vocabulary, which grows with
-    // the corpus (unlike q_x2's fixed nation x length-bucket blocks)
-    assert(plan.contains("gram"), plan.take(1500))
+    // its candidate key is the (block, deletion-variant-hash) pair —
+    // variant keys carry the discriminating characters of their source,
+    // so key cardinality grows with the corpus (unlike a saturating
+    // q-gram vocabulary, the r9 sf10 OOM; see FuzzyPairs scaladoc)
+    assert(plan.contains("_vh"), plan.take(1500))
+    assert(plan.contains("_blk"), plan.take(1500))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
