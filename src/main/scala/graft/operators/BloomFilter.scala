@@ -47,6 +47,17 @@ object BloomFilter {
   def build(grams: DataFrame, m: Int, k: Int): Filter =
     Filter(buildBits(grams, m, k), m, k)
 
+  /** Filter size for `n` inserted elements: ~14 bits/element rounded up
+    * to whole words, floored at 65536 bits (8 KiB — below that the
+    * filter is cheaper than the arithmetic around it). 14 bits/element
+    * keeps the false-positive rate ≈ 0.7% at k=3 at ANY insert count;
+    * integer arithmetic only, so an external engine (the DuckDB oracle)
+    * reproduces m exactly: `greatest(65536, ((14·n + 63) // 64) · 64)`. */
+  def autoBits(n: Long): Int = {
+    val m = ((14L * n + 63L) / 64L) * 64L
+    math.max(65536L, math.min(m, Int.MaxValue.toLong - 63L)).toInt
+  }
+
   /** Unsigned low-32 portable code-point fold — the native codegen
     * expression ([[graft.plans.Cp31Hash]], one primitive loop over the
     * UTF-8 bytes; same base hash as the minhash/simhash token hashes).
@@ -111,13 +122,25 @@ object BloomFilter {
     * `(lang, n_docs_flagged, n_bloom_grams, n_true_grams)` — documents
     * with ≥ 1 bloom-positive n-gram, bloom-positive (doc, gram) pairs,
     * and how many of those survive the exact match (bloom ≥ true; the
-    * gap is the measured false-positive mass). */
+    * gap is the measured false-positive mass).
+    *
+    * `m <= 0` (the default) auto-sizes the filter to the eval set:
+    * `m = max(65536, ceil64(14 · |distinct eval grams|))` — ~14
+    * bits/element, FP ≈ 0.7% at k=3 REGARDLESS of eval-set size. A
+    * FIXED m is the one parameter choice that silently breaks at
+    * scale: the r9 sf10 bench measured 13× time for 10× data because
+    * 65536 bits over ~10⁶ inserted grams saturates to all-ones, every
+    * corpus gram goes bloom-positive, and the "survivor-only" exact
+    * join degenerates to the full corpus gram stream. The count pass
+    * over the eval grams is the bench side — small by definition —
+    * and the driver still only ever holds m bits. */
   def decontaminateReport(train: DataFrame, bench: DataFrame, n: Int,
-                          m: Int = 65536, k: Int = 3): DataFrame = {
+                          m: Int = -1, k: Int = 3): DataFrame = {
     val benchGrams = bench
       .select(explode(TextAnalysis.wordNgrams(col("text"), n)).as("gram"))
       .distinct()
-    val words = buildBits(benchGrams, m, k)
+    val m1 = if (m > 0) m else autoBits(benchGrams.count())
+    val words = buildBits(benchGrams, m1, k)
     // per-doc dedup stays IN THE ARRAY (array_distinct before explode):
     // the report's counts need distinct (doc, gram) pairs, and deduping
     // after a positional-explode stream would shuffle every bloom-
@@ -129,9 +152,9 @@ object BloomFilter {
     val bloomHits = withProbes(
       train.select(col("doc_id"), col("lang"),
         explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
-          .as("gram")), m)
+          .as("gram")), m1)
       .withColumn("_bw", typedLit(words.toSeq))
-      .where(hit(m, k))
+      .where(hit(m1, k))
       .select("doc_id", "lang", "gram")
     // ONE pass over the survivors: the exact-match marker arrives via a
     // broadcast left join (benchGrams is distinct, so no duplication)

@@ -217,9 +217,24 @@ object Similarity {
     * engine-reproducible). `v` must carry (vec_id, vec, vv). Returns
     * (list_id, centroid, c·c); an emptied list drops out (k shrinks).
     */
+  /** Coarse-quantizer list count for an `n`-vector corpus: n/1024
+    * clamped to [16, 1024]. A FIXED nLists is quadratic at scale —
+    * within-cluster pair work is n²/nLists, so 10× data at constant
+    * lists is 100× pairs (the r9 sf10 bench measured semdedup 16× and
+    * IVF ~10× for 10× data); growing lists with the corpus (the
+    * SemDeDup paper runs ~100k clusters over LAION) holds cluster
+    * size — and with it the quadratic term and per-probe candidate
+    * count — constant. Integer-only so the DuckDB oracle reproduces
+    * it: `greatest(16, least(1024, n // 1024))`. The 1024 cap keeps
+    * the centroid set a codegen-friendly literal array; beyond it
+    * (≥ ~10⁶ vectors/list at 10⁹ rows) the centroids should become a
+    * broadcast-joined table instead of inline literals. */
+  def autoNLists(n: Long): Int =
+    math.max(16L, math.min(1024L, n / 1024L)).toInt
+
   def lloydFit(v: DataFrame, nLists: Int, iters: Int,
-               maxFitRows: Long): Seq[(Int, Array[Double], Double)] = {
-    val n = v.count()
+               maxFitRows: Long, nRows: Long = -1L): Seq[(Int, Array[Double], Double)] = {
+    val n = if (nRows >= 0L) nRows else v.count()
     val fit = v.where(
         Sampling.portableBucket(col("vec_id"), 7) * lit(n) <
           lit(maxFitRows * 10000L))
@@ -251,14 +266,20 @@ object Similarity {
   }
 
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-              nLists: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              nLists: Int = -1, nProbe: Int = 4, iters: Int = 2,
               maxFitRows: Long = 4096L): DataFrame = {
     val spark = emb.sparkSession
     val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
 
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("vv", ndot(col("vec"), col("vec")))
-    val cents = lloydFit(v, nLists, iters, maxFitRows)
+    // nLists <= 0 auto-sizes to the corpus ([[autoNLists]]): constant
+    // cluster size means constant per-probe candidate work at any
+    // scale. nProbe stays FIXED as lists grow — the probed fraction
+    // shrinks, which is the standard IVF recall/size trade, not drift.
+    val n = v.count()
+    val nl = if (nLists > 0) nLists else autoNLists(n)
+    val cents = lloydFit(v, nl, iters, maxFitRows, n)
     def scored(c: Seq[(Int, Array[Double], Double)]) = scoredCols(v, c)
     def argmin(c: Seq[(Int, Array[Double], Double)]) = argminCol(v, c)
 
@@ -352,12 +373,17 @@ object Similarity {
     * runs disagree — so a DuckDB oracle replays it exactly.
     */
   def semDedupSurvivors(emb: DataFrame, threshold: Double,
-                        nLists: Int = 16, iters: Int = 2,
+                        nLists: Int = -1, iters: Int = 2,
                         maxFitRows: Long = 4096L, salts: Int = 8): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("vv", ndot(col("vec"), col("vec")))
+    // nLists <= 0 auto-sizes to the corpus ([[autoNLists]]) — the
+    // within-cluster pair work is n²/nLists, so lists MUST grow with n
+    // for the quadratic term to stay bounded (r9 sf10: 16× at fixed 16)
+    val n = v.count()
+    val nl = if (nLists > 0) nLists else autoNLists(n)
     // the assignment is materialized ONCE (localCheckpoint, the
     // duplicateClusters precedent): its expression tree inlines all
     // nLists×dim centroid literals, and the three consumers below (both
@@ -367,7 +393,7 @@ object Similarity {
     // operator. One corpus-sized write is the price; at real scale it
     // replaces three full scan+assign passes.
     val asg = v.withColumn("list_id",
-      argminCol(v, lloydFit(v, nLists, iters, maxFitRows))).localCheckpoint()
+      argminCol(v, lloydFit(v, nl, iters, maxFitRows, n))).localCheckpoint()
     // the self-join key carries a SALT (a-side by id, b-side replicated
     // ×salts) so one cluster's quadratic pair work spreads over `salts`
     // tasks instead of one — the within-cluster comparison is the

@@ -64,27 +64,31 @@ object LlmQueries {
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Shared oracle CTE chain replaying [[Similarity.lloydFit]] bit-exact
-    * with the registry parameters (nLists=16, both Lloyd rounds unrolled,
-    * maxFitRows=4096, bucket seeds 7/17): portable-hash fit sample,
-    * hash-spread init, integerized DECIMAL(38,0) centroid means, all dot
-    * products ordered folds (`list_dot_product`). ONE definition
-    * interpolated into BOTH q_embed_ann_ivf and q_embed_semdedup so the
-    * quantizer arithmetic can never drift between them. Regenerate if
-    * either registry call's parameters change. Ends with
-    * `cent2(list_id, cvec, cc)` over base CTE `vv(vec_id, vec, vv)`. */
+    * with the registry parameters (auto-sized nLists =
+    * `greatest(16, least(1024, n // 1024))` ≡ [[Similarity.autoNLists]],
+    * both Lloyd rounds unrolled, maxFitRows=4096, bucket seeds 7/17):
+    * portable-hash fit sample, hash-spread init, integerized
+    * DECIMAL(38,0) centroid means, all dot products ordered folds
+    * (`list_dot_product`). ONE definition interpolated into BOTH
+    * q_embed_ann_ivf and q_embed_semdedup so the quantizer arithmetic
+    * can never drift between them. Regenerate if either registry call's
+    * parameters change. Ends with `cent2(list_id, cvec, cc)` over base
+    * CTE `vv(vec_id, vec, vv)`. */
   private lazy val lloydOracleCtes: String =
     s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
        |    list_dot_product(CAST(embedding AS DOUBLE[]),
        |                     CAST(embedding AS DOUBLE[])) AS vv
        |  FROM embeddings),
        |prm AS (SELECT COUNT(*) AS n FROM vv),
+       |nlc AS (SELECT greatest(16, least(1024, n // 1024)) AS nl FROM prm),
        |fit AS (SELECT vv.* FROM vv, prm
        |  WHERE ${Sampling.portableBucketSql("vec_id", 7)} * n < ${4096L * 10000L}),
-       |init AS (SELECT vec, vv,
-       |    ROW_NUMBER() OVER (ORDER BY pb, vec_id) - 1 AS list_id
+       |init AS (SELECT vec, vv, list_id FROM (
+       |  SELECT vec, vv,
+       |      ROW_NUMBER() OVER (ORDER BY pb, vec_id) - 1 AS list_id
        |  FROM (SELECT vec_id, vec, vv,
        |      ${Sampling.portableBucketSql("vec_id", 17)} AS pb
-       |    FROM fit ORDER BY pb, vec_id LIMIT 16)),
+       |    FROM fit)) WHERE list_id < (SELECT nl FROM nlc)),
        |cent0 AS (SELECT list_id, vec AS cvec, vv AS cc FROM init),
        |asg1 AS (SELECT vec_id, vec, vv, list_id FROM (
        |    SELECT f.vec_id, f.vec, f.vv, c.list_id,
@@ -1170,7 +1174,10 @@ object LlmQueries {
     // code-point-fold hash + double hashing), so the oracle REBUILDS the
     // filter as a distinct-position set and replays membership —
     // including false positives — exactly. Same bench/train split as
-    // q_decontaminate_ngram (portable bucket 7 < 200).
+    // q_decontaminate_ngram (portable bucket 7 < 200). m auto-sizes to
+    // ~14 bits per distinct eval gram (floored at 65536) so the FP rate
+    // survives any eval-set size — the `ms` CTE computes the identical
+    // integer formula from the oracle's own distinct-gram count.
     Q("q_bloom_decontaminate",
       (s, dir) => {
         val docs = documents(s, dir)
@@ -1194,16 +1201,20 @@ object LlmQueries {
              |        c -> CAST(unicode(c) AS HUGEINT))),
              |      (h, c) -> (h * 31 + c) % 4294967296) AS u32
              |  FROM grams),
-             |hp AS (SELECT doc_id, lang, bb, gram, u32 % 65536 AS h1,
-             |    1 + (u32 // 65536) % 65535 AS h2
+             |ev AS (SELECT DISTINCT gram FROM grams WHERE bb < 200),
+             |ms AS (SELECT greatest(65536, ((14*COUNT(*) + 63) // 64) * 64) AS m
+             |  FROM ev),
+             |hp AS (SELECT doc_id, lang, bb, gram,
+             |    u32 % (SELECT m FROM ms) AS h1,
+             |    1 + (u32 // (SELECT m FROM ms)) % ((SELECT m FROM ms) - 1) AS h2
              |  FROM hc),
-             |evpos AS (SELECT DISTINCT (h1 + j*h2) % 65536 AS p
+             |evpos AS (SELECT DISTINCT (h1 + j*h2) % (SELECT m FROM ms) AS p
              |  FROM hp, range(3) r(j) WHERE bb < 200),
-             |tp AS (SELECT doc_id, lang, gram, (h1 + j*h2) % 65536 AS p
+             |tp AS (SELECT doc_id, lang, gram,
+             |    (h1 + j*h2) % (SELECT m FROM ms) AS p
              |  FROM hp, range(3) r(j) WHERE bb >= 200),
              |hits AS (SELECT doc_id, lang, gram FROM tp JOIN evpos USING (p)
              |  GROUP BY doc_id, lang, gram HAVING COUNT(*) = 3),
-             |ev AS (SELECT DISTINCT gram FROM grams WHERE bb < 200),
              |bagg AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs_flagged,
              |    COUNT(*) AS n_bloom_grams
              |  FROM hits GROUP BY lang),
