@@ -98,8 +98,22 @@ object Bench {
       else Seq(r1, once(name, fn), once(name, fn))
         .sorted(Ordering.Double.TotalOrdering)(1)
     }
-    val lightResults = lightQ.map { case (name, fn) => name -> median3(name, fn) }
+    // UNTIMED driver GC between queries: Spark reclaims shuffle files
+    // and broadcasts only when the ContextCleaner sees their driver
+    // objects collected, and a large mostly-empty heap can go the whole
+    // bench without a single old-gen GC — hundreds of queries' shuffle
+    // output then accumulates on local disk until writes throttle. The
+    // r9 sf10 run measured the effect directly: q_text_tfidf (the
+    // largest light-query shuffle) read 180 s in-bench vs 5-8 s
+    // standalone. Periodic, not per-query: a full GC on a large heap
+    // costs seconds itself.
+    var sinceGc = 0
+    def maybeGc(): Unit = { sinceGc += 1; if (sinceGc >= 8) { sinceGc = 0; System.gc() } }
+    val lightResults = lightQ.map { case (name, fn) =>
+      maybeGc(); name -> median3(name, fn)
+    }
     val heavyResults = heavyQ.map { case (name, fn) =>
+      maybeGc()
       once(name, fn) // untimed prime
       name -> (if (failed(name)) 0.0 else median3(name, fn))
     }

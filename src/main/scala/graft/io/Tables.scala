@@ -147,9 +147,18 @@ object Tables {
     * partitions present in `df`, keep all others — the Parquet analogue
     * of Delta `replaceWhere "match = X"` (ex_match_bs.py:461-472). */
   def upsertSilverPartitions(df: DataFrame, path: String): Unit =
+    upsertPartitions(df, path, Seq("match", "innings"))
+
+  /** Generic dynamic partition upsert: replace exactly the `cols`
+    * partitions present in `df`, keep all others. Idempotent for a
+    * deterministic `df`: re-running overwrites the same partitions with
+    * identical rows, which is what makes it the exactly-once write shape
+    * for `foreachBatch` sinks keyed by `batch_id`
+    * ([[graft.streaming.StreamNearDedup]], [[graft.streaming.Incremental]]). */
+  def upsertPartitions(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("match", "innings").parquet(path)
+      .partitionBy(cols: _*).parquet(path)
 
   /** S8/T2 — keyed MERGE upsert: the Delta `MERGE ON keys` shape
     * (SURVEY §2.10 maps the reference's per-delivery upsert,
