@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** One driver-contract query: a Spark plan over `/root/testdata/sf*` plus
   * (where SQL-expressible) the equivalent ANSI SQL the driver runs in
@@ -24,10 +24,12 @@ final case class Q(
   *    in BOTH engines and only the final value is cast back to double.
   *    Deterministic at any parallelism, and scale-safe: decimal sums use
   *    the same partial-aggregation (map-side combine) path as any sum.
-  *  - `events.ts` is nanosecond parquet. Spark reads it as a long
-  *    (legacy nanosAsLong); DuckDB truncates to microseconds. All
-  *    event-time logic therefore runs on `us = ts div 1000`, which is
-  *    bit-equal to DuckDB's `epoch_us(ts)`.
+  *  - `events.ts` has shipped in two physical forms across driver data
+  *    snapshots: nanosecond int64 (Spark reads a BIGINT under legacy
+  *    nanosAsLong; DuckDB truncates to micros) and `timestamp[us]`
+  *    (Spark reads TIMESTAMP_NTZ). All event-time logic therefore runs
+  *    on the normalized `us` epoch-microseconds BIGINT ([[usFromTs]]),
+  *    which is bit-equal to DuckDB's `epoch_us(ts)` in both forms.
   *  - Integer sums: Spark promotes int→long, DuckDB int→HUGEINT; oracles
   *    CAST to BIGINT explicitly.
   *  - Every query ends in a deterministic total ORDER BY (ties broken by
@@ -49,10 +51,22 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** events with `us` (epoch microseconds, BIGINT) replacing the raw
-    * nanosecond ts — see parity rules above. */
+    * ts — see parity rules above. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("us", expr("ts div 1000")).drop("ts")
+    val raw = table(s, d, "events")
+    raw.withColumn("us", usFromTs(raw)).drop("ts")
+  }
+
+  /** Epoch-microseconds BIGINT from a raw `ts` column, independent of
+    * its physical type: nanosecond BIGINT truncates by integer
+    * division; TIMESTAMP/TIMESTAMP_NTZ converts via unix_micros. The
+    * NTZ branch interprets the naive datetime in the session time zone,
+    * which every entry point pins to UTC — matching DuckDB's
+    * `epoch_us(ts)` on the same file. */
+  def usFromTs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000")
+    case _        => unix_micros(col("ts").cast("timestamp"))
   }
 
   /** The exact-sum accumulator type. 18 digits / 4 decimals covers every

@@ -89,10 +89,20 @@ object Sessionize {
           checkpoint: String, gapUs: Long = 1800000000L) = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT")
+    // A file stream needs a declared schema; sniff the physical ts type
+    // from whatever files are already present (nanosecond BIGINT vs
+    // timestamp[us] — both driver snapshot forms occur, see
+    // queries.Tables.usFromTs). An empty dir defaults to the current
+    // timestamp[us] form.
+    val tsType =
+      try spark.read.parquet(eventsDir).schema("ts").dataType.sql
+      catch { case _: Exception => "TIMESTAMP_NTZ" }
+    val raw = spark.readStream
+      .schema(s"event_id BIGINT, ts $tsType, user_id BIGINT")
       .parquet(eventsDir)
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+    val stream = raw
+      .select(col("user_id"), graft.queries.Tables.usFromTs(raw).as("us"),
+        col("event_id"))
       .as[Event]
     sessions(stream, gapUs).writeStream
       .outputMode("update")

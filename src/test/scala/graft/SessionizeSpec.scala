@@ -55,7 +55,8 @@ class SessionizeSpec extends SparkSpec {
 
     val streamed = spark.read.parquet(outPath)
     val truth = batchSessions(
-      events.select(col("user_id"), expr("ts div 1000").as("us"), col("event_id")))
+      events.select(col("user_id"),
+        graft.queries.Tables.usFromTs(events).as("us"), col("event_id")))
     assert(key(streamed) === key(truth))
   }
 

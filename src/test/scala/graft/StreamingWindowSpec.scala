@@ -12,8 +12,9 @@ class StreamingWindowSpec extends SparkSpec {
 
   test("streamed windowed counts converge to the batch aggregation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("event_id"), expr("ts div 1000").as("us"),
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = raw
+      .select(col("event_id"), graft.queries.Tables.usFromTs(raw).as("us"),
         col("event_type"), col("value"))
 
     val base = Files.createTempDirectory("graft-win").toString
