@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** One driver-contract query: a Spark plan over `/root/testdata/sf*` plus
   * (where SQL-expressible) the equivalent ANSI SQL the driver runs in
@@ -65,8 +65,11 @@ object Tables {
     * which every entry point pins to UTC — matching DuckDB's
     * `epoch_us(ts)` on the same file. */
   def usFromTs(df: DataFrame): Column = df.schema("ts").dataType match {
-    case LongType => expr("ts div 1000")
-    case _        => unix_micros(col("ts").cast("timestamp"))
+    case LongType                          => expr("ts div 1000")
+    case TimestampType | TimestampNTZType  => unix_micros(col("ts").cast("timestamp"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported physical type $other; expected " +
+        "nanosecond BIGINT, TIMESTAMP, or TIMESTAMP_NTZ")
   }
 
   /** The exact-sum accumulator type. 18 digits / 4 decimals covers every

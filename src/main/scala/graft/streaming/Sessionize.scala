@@ -94,9 +94,18 @@ object Sessionize {
     // timestamp[us] — both driver snapshot forms occur, see
     // queries.Tables.usFromTs). An empty dir defaults to the current
     // timestamp[us] form.
+    // Only the cannot-infer case (empty/absent dir) may default; any
+    // other read failure (permissions, corrupt footer) must surface now,
+    // not as a confusing mid-stream schema mismatch later.
     val tsType =
       try spark.read.parquet(eventsDir).schema("ts").dataType.sql
-      catch { case _: Exception => "TIMESTAMP_NTZ" }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"sessionize: cannot sniff ts type from $eventsDir " +
+              s"(${e.getMessage.takeWhile(_ != '\n')}); defaulting TIMESTAMP_NTZ")
+          "TIMESTAMP_NTZ"
+      }
     val raw = spark.readStream
       .schema(s"event_id BIGINT, ts $tsType, user_id BIGINT")
       .parquet(eventsDir)
