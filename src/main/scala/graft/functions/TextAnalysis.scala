@@ -266,6 +266,49 @@ object TextAnalysis {
     (redacted, nEmail, nIp, nPhone)
   }
 
+  /** BM25 top-k retrieval over the corpus for a fixed bag of query
+    * terms — the classic sparse-retrieval scorer (Robertson/Okapi),
+    * k1 = 1.2, b = 0.75. Two deliberate engine-parity choices:
+    *  - the IDF is the RAW Robertson–Sparck-Jones odds
+    *    `(N − df + 0.5)/(df + 0.5)` without the usual `ln`: libm's last
+    *    ulp differs across engines while this fixed-order IEEE chain
+    *    over exact integers is bit-reproducible (per-term ranking is
+    *    the same monotone signal; cross-term sums weight rare terms
+    *    more sharply than log-IDF — documented, not hidden);
+    *  - per-term scores integerize to `floor(1e8·s + 0.5)` BEFORE the
+    *    per-document sum (the centroid/lm-score trick), so the
+    *    order-dependent double sum becomes an exact integer sum.
+    *
+    * Scale shape: the corpus-sized work is one tokenize pass feeding
+    * the per-doc length aggregate and the term-filtered tf aggregate
+    * (the `isin` filter runs map-side before any shuffle, so the tf
+    * stream carries only documents containing a query term); df and
+    * the corpus totals are term-count-sized and broadcast; the final
+    * top-k is a TakeOrdered, never a full sort. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1, "need query terms and k >= 1")
+    val words = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val len = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val totals = len.agg(count(lit(1)).as("n_docs"),
+      sum("len").cast("double").as("total_len"))
+    val tf = words.where(col("word").isin(queryTerms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // fixed-order IEEE chain, mirrored verbatim in the oracle SQL
+    val score = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) +
+        lit(0.75) * col("len") * col("n_docs") / col("total_len")))
+    tf.join(len, "doc_id")
+      .join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(totals))
+      .withColumn("s8",
+        floor(lit(100000000.0) * score + lit(0.5)).cast("long"))
+      .groupBy("doc_id").agg(sum("s8").as("bm25_x8"))
+      .orderBy(desc("bm25_x8"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document quality metrics frame: doc_id + token/char/punct/
     * stopword counts and ratio features. */
   def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -292,4 +292,48 @@ object Sampling {
         w * col("_n_total") * granularity)
       .drop("_stratum", "_n_stratum", "_n_total")
   }
+
+  /** Temperature-scaled mixture resampling (T = 2): each stratum's
+    * share of a `totalTarget`-row corpus is proportional to
+    * `√n_stratum` — the standard multilingual rebalancing that
+    * upweights small languages relative to proportional sampling
+    * (general `n^(1/T)` needs `pow`, a libm call whose last ulp is
+    * engine-dependent; `sqrt` is IEEE-754 CORRECTLY ROUNDED on every
+    * engine, so T = 2 — much the commonest setting — is reproducible
+    * bit-for-bit and is the one offered).
+    *
+    * The weight is integerized as `w_s = floor(1000·√n_s)` (identical
+    * doubles in, identical longs out, on any engine) and membership is
+    * the exact cross-multiplied integer predicate
+    * `pb · n_s · Σw < granularity · totalTarget · w_s`, evaluated in
+    * DECIMAL(38,0) on the Spark side and HUGEINT in the oracle — the
+    * products reach ~10²⁸ at 10¹³-row strata, past BIGINT. A stratum
+    * whose target exceeds its size keeps every row (no upsampling —
+    * [[epochUpsample]] is the upsampling half); the realized total
+    * tracks `totalTarget` to bucket granularity, exactly like
+    * [[mixtureResample]].
+    *
+    * Scale shape: one stratum-cardinality aggregate (+ its one-row
+    * total), broadcast back; the filter is one codegen'd predicate —
+    * one scan, no data-sized shuffle. */
+  def temperatureResample(df: DataFrame, totalTarget: Long,
+                          stratumCol: String = "lang",
+                          idCol: String = "doc_id", seed: Int = 42,
+                          granularity: Int = 10000): DataFrame = {
+    require(totalTarget >= 0, s"totalTarget must be >= 0, got $totalTarget")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df.groupBy(col(stratumCol).as("_stratum"))
+      .agg(count(lit(1)).as("_n_stratum"))
+      .withColumn("_w",
+        floor(lit(1000.0) * sqrt(col("_n_stratum").cast("double")))
+          .cast("long"))
+    val wTot = counts.agg(sum("_w").as("_w_tot"))
+    df.join(broadcast(counts), col(stratumCol) === col("_stratum"))
+      .crossJoin(broadcast(wTot))
+      .where(portableBucket(col(idCol), seed, granularity).cast(dec38) *
+        col("_n_stratum").cast(dec38) * col("_w_tot").cast(dec38) <
+        lit(granularity.toLong).cast(dec38) *
+          lit(totalTarget).cast(dec38) * col("_w").cast(dec38))
+      .drop("_stratum", "_n_stratum", "_w", "_w_tot")
+  }
 }

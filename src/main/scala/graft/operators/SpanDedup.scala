@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Cross-document substring-level exact deduplication — the
+  * "deduplicate training data at the span level" pass (Lee et al. 2022,
+  * arXiv:2107.06499): any `l`-token window whose exact token sequence
+  * occurs MORE THAN ONCE in the corpus (across documents or within one)
+  * is removed from every occurrence EXCEPT the globally first one, and
+  * each document's text is rebuilt from its surviving tokens.
+  *
+  * Contrast with the sibling passes: [[Boilerplate]] removes frequent
+  * n-grams from ALL occurrences (chrome has no canonical owner, and the
+  * threshold is distinct-document frequency ≥ minDf); exact/minhash
+  * dedup drop or keep whole documents. This pass keeps exactly one copy
+  * of every duplicated span — the memorization-risk remedy — while
+  * leaving each document's unique content in place.
+  *
+  * First-occurrence rule: occurrences order by (doc_id, position),
+  * packed into one BIGINT key `doc_id · 2²⁰ + pos` so "first" is a
+  * plain `min` aggregate (map-side combining) instead of a corpus-wide
+  * window. Contract: `0 ≤ doc_id < 2⁴³` and documents shorter than 2²⁰
+  * tokens — far beyond any training document; a violation only reorders
+  * which copy is kept, never which spans are detected.
+  *
+  * Scale shape (the [[Boilerplate]] shape, same reasons):
+  *  - token arrays are localCheckpointed once, so the corpus text is
+  *    READ AND TOKENIZED ONCE; the rebuild join re-reads token arrays;
+  *  - gram identity through the shuffle is the 64-bit `graft_tok64`
+  *    hash (gram strings never leave the map side); hash ≡ string
+  *    identity up to 2⁻⁶⁴-scale collisions, the documented trade shared
+  *    with the md5 fingerprint and the jaccard verify sets;
+  *  - the duplicated-gram stats (count ≥ 2 plus first-occurrence key)
+  *    are ONE aggregate over the gram stream; the occurrence-marking
+  *    join is hash-keyed with no hint — AQE broadcasts the stats side
+  *    when dedup structure is sparse and sort-merges when it is not;
+  *  - covered/kept/rebuilt text are pure array expressions per document
+  *    (`array_except`, never a per-position `array_contains` scan).
+  */
+object SpanDedup {
+
+  /** Packs (doc_id, pos) into the BIGINT first-occurrence key. */
+  private val PosStride = 1L << 20
+
+  /** `(doc_id, n_tokens, n_removed, deduped_text)` — every input row
+    * appears exactly once; a document containing no duplicated span (or
+    * shorter than `l` tokens, or null/empty text) passes through with
+    * `n_removed = 0` and its token-normalized text intact. Overlapping
+    * duplicated spans merge into one covered region (positions are a
+    * set, not a sum). */
+  def removeDuplicateSpans(docs: DataFrame, l: Int): DataFrame = {
+    require(l >= 2, s"span length must be >= 2 tokens, got $l")
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))
+      .localCheckpoint()
+    // (doc, start, gram-hash, packed first-occurrence key); sequence()
+    // counts DOWN for docs shorter than l, so guard to an empty array.
+    val grams = toks
+      .select(col("doc_id"), col("t"),
+        explode(when(size(col("t")) >= l,
+            sequence(lit(1), size(col("t")) - (l - 1)))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        graft.plans.Tok64Hash.tok64Col(docs.sparkSession,
+          concat_ws(" ", slice(col("t"), col("p"), lit(l)))).as("gh"))
+      .withColumn("k", col("doc_id") * PosStride + col("p"))
+    val dupStats = grams.groupBy("gh")
+      .agg(count(lit(1)).as("cnt"), min(col("k")).as("first_k"))
+      .where(col("cnt") >= 2)
+      .select("gh", "first_k")
+    val starts = grams.join(dupStats, Seq("gh"))
+      .where(col("k") =!= col("first_k"))
+      .groupBy("doc_id").agg(collect_list(col("p")).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("covered", array_distinct(flatten(transform(
+        coalesce(col("starts"), array().cast("array<int>")),
+        i => sequence(i, i + (l - 1))))))
+      .withColumn("kept",
+        array_except(sequence(lit(1), size(col("t"))), col("covered")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("kept"), q => element_at(col("t"), q)))
+          .as("deduped_text"))
+  }
+}

@@ -1510,5 +1510,94 @@ object LlmQueries {
              |SELECT d.doc_id, d.source, CAST(k.avg_tokens AS BIGINT) AS avg_tokens
              |FROM documents d JOIN k USING (source)
              |ORDER BY doc_id""".stripMargin)),
+
+    // Substring-level exact dedup (Lee et al. 2022): every 5-token span
+    // occurring more than once in the corpus is removed from all but
+    // its globally-first occurrence, and documents are rebuilt from the
+    // surviving tokens. The Spark side ships 64-bit gram hashes through
+    // the one stats shuffle; the oracle groups the gram STRINGS — hash
+    // identity ≡ string identity up to 2^-64 collisions (the md5/
+    // jaccard-verify trade). See operators/SpanDedup.
+    Q("q_span_dedup",
+      (s, dir) => graft.operators.SpanDedup
+        .removeDuplicateSpans(documents(s, dir), l = 5)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+             |  FROM documents),
+             |o AS (SELECT doc_id,
+             |    unnest(range(1, len(t) - 3)) AS p,
+             |    unnest(list_transform(range(1, len(t) - 3),
+             |      i -> array_to_string(t[i:i+4], ' '))) AS gram
+             |  FROM toks WHERE len(t) >= 5),
+             |ok AS (SELECT doc_id, p, gram, doc_id * 1048576 + p AS k FROM o),
+             |st AS (SELECT gram, MIN(k) AS fk FROM ok
+             |  GROUP BY gram HAVING COUNT(*) >= 2),
+             |cv AS (SELECT doc_id, list(p) AS starts
+             |  FROM ok JOIN st USING (gram) WHERE k != fk GROUP BY doc_id),
+             |cov AS (SELECT doc_id,
+             |    list_distinct(flatten(list_transform(starts,
+             |      i -> range(i, i + 5)))) AS covered
+             |  FROM cv)
+             |SELECT tk.doc_id,
+             |  CAST(len(tk.t) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(len(c.covered), 0) AS BIGINT) AS n_removed,
+             |  COALESCE(array_to_string(list_transform(
+             |    list_filter(range(1, len(tk.t) + 1),
+             |      q -> NOT list_contains(COALESCE(c.covered,
+             |        CAST([] AS BIGINT[])), q)),
+             |    q -> tk.t[q]), ' '), '') AS deduped_text
+             |FROM toks tk LEFT JOIN cov c USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // BM25 top-k retrieval for a fixed query bag — raw RSJ odds instead
+    // of log-IDF (libm parity; same per-term monotone ranking) and
+    // per-term scores integerized before the per-doc sum so the double
+    // sum is order-independent. See functions/TextAnalysis.bm25TopK.
+    Q("q_text_bm25_topk",
+      (s, dir) => TextAnalysis
+        .bm25TopK(documents(s, dir), Seq("vector", "merge", "stream"), 10),
+      Some("""WITH w AS (SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+             |  FROM documents),
+             |len AS (SELECT doc_id, COUNT(*) AS len FROM w GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n_docs,
+             |    CAST(SUM(len) AS DOUBLE) AS total_len FROM len),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+             |  WHERE word IN ('vector', 'merge', 'stream') GROUP BY 1, 2),
+             |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+             |ts AS (SELECT tf.doc_id,
+             |    CAST(floor(100000000.0 *
+             |      ((tot.n_docs - df.df + 0.5) / (df.df + 0.5) *
+             |       (tf.tf * 2.2) /
+             |       (tf.tf + 1.2 * (0.25 +
+             |         0.75 * len.len * tot.n_docs / tot.total_len))) + 0.5)
+             |      AS BIGINT) AS s8
+             |  FROM tf JOIN len USING (doc_id) JOIN df USING (word)
+             |    CROSS JOIN tot)
+             |SELECT doc_id, CAST(SUM(s8) AS BIGINT) AS bm25_x8
+             |FROM ts GROUP BY 1
+             |ORDER BY bm25_x8 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Temperature-scaled mixture (T = 2): stratum share ∝ √n_lang,
+    // integerized weights (floor(1000·√n) — sqrt is IEEE correctly
+    // rounded, unlike pow) and an exact HUGEINT/DECIMAL(38,0)
+    // cross-multiplied membership predicate. See
+    // operators/Sampling.temperatureResample.
+    Q("q_mixture_temperature",
+      (s, dir) => Sampling
+        .temperatureResample(documents(s, dir), totalTarget = 400L)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n,
+             |    CAST(floor(1000.0 * sqrt(CAST(COUNT(*) AS DOUBLE)))
+             |      AS BIGINT) AS w
+             |  FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM c)
+             |SELECT d.doc_id, d.lang
+             |FROM documents d JOIN c USING (lang) CROSS JOIN t
+             |WHERE CAST(${Sampling.portableBucketSql("d.doc_id", 42)} AS HUGEINT)
+             |    * c.n * t.w_tot
+             |  < CAST(10000 AS HUGEINT) * 400 * c.w
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

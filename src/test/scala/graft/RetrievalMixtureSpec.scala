@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.Sampling
+
+/** Behavior specs for BM25 top-k retrieval and temperature-scaled
+  * mixture resampling. */
+class RetrievalMixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: scores match the fixed-order formula and rank by density") {
+    val d = Seq(
+      (1L, "cat dog"),
+      (2L, "cat cat mouse"),
+      (3L, "bird bird bird bird")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, Seq("cat"), 10)
+      .as[(Long, Long)].collect().toSeq
+    // mirror of the column expression in plain doubles (identical IEEE
+    // operation order → identical bits)
+    def s8(tf: Long, df: Long, len: Long, n: Long, totalLen: Double): Long =
+      math.floor(1e8 * ((n - df + 0.5) / (df + 0.5) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * len * n / totalLen))) + 0.5).toLong
+    assert(out == Seq(
+      2L -> s8(2, 2, 3, 3, 9.0),
+      1L -> s8(1, 2, 2, 3, 9.0)))
+    // doc 3 contains no query term and must be absent
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("bm25: multi-term scores sum per doc; k bounds the output") {
+    val d = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha alpha"),
+      (3L, "beta gamma"),
+      (4L, "gamma gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, Seq("alpha", "beta"), 2)
+      .as[(Long, Long)].collect()
+    assert(out.length == 2)
+    // doc 1 matches both terms — its two per-term scores sum, beating
+    // the single-term docs at equal length
+    assert(out.head._1 == 1L)
+  }
+
+  test("temperature mixture: sqrt-share targets, deterministic, layout-independent") {
+    val d = ((0L until 400L).map(i => (i, "a")) ++
+      (400L until 500L).map(i => (i, "b"))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureResample(d, totalTarget = 300L)
+      .select("doc_id").as[Long].collect().toSet
+    // targets: w_a = 1000·√400 = 20000, w_b = 1000·√100 = 10000 →
+    // t_a = 300·2/3 = 200 (frac 0.5), t_b = 100 (frac 1.0 → keep all)
+    val keptB = kept.count(_ >= 400L)
+    assert(keptB == 100, s"stratum below its target keeps every row, got $keptB")
+    val keptA = kept.count(_ < 400L)
+    // bucket granularity makes the realized count approximate
+    assert(math.abs(keptA - 200) < 30, s"expected ~200 from stratum a, got $keptA")
+    // deterministic and layout-independent
+    val again = Sampling.temperatureResample(d.repartition(7), 300L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
+  test("temperature mixture: upweights small strata vs proportional") {
+    val d = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureResample(d, totalTarget = 500L)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val fracSmall = kept.count(_._2 == "small") / 100.0
+    val fracBig = kept.count(_._2 == "big") / 900.0
+    // T = 2 keeps a larger FRACTION of the small stratum
+    assert(fracSmall > fracBig,
+      s"small-stratum fraction $fracSmall should exceed big's $fracBig")
+  }
+}
