@@ -19,7 +19,8 @@ object BenchOne {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
     Dedup.minhashLshPairs(docs, 0.9, bands = 8, rows = 8).count()
-    (1 to 3).foreach { i =>
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[benchone] $name run $i: ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")

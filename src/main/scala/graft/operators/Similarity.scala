@@ -101,18 +101,17 @@ object Similarity {
     val planes = hyperplanes(tables, bits, dim)
 
     val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
-    // buckets as PURE codegen expressions: one native dot product per
-    // (table, bit) against a literal plane array, sign bits OR-folded by
-    // integer adds (bits are disjoint). Bit-identical to the former UDF
-    // (same sequential double summation, same strict > 0 test — the
-    // DuckDB oracle replays the LCG planes), but no per-row Seq boxing:
-    // the UDF measured ~190 µs/row at sf1.0, dominating the query.
-    def bucketCols(vec: Column): Column = array((0 until tables).map { t =>
-      (0 until bits).map { b =>
-        when(ndot(typedLit(planes(t)(b).toSeq), vec) > 0.0, 1L << b)
-          .otherwise(0L)
-      }.reduce(_ + _) + lit(t.toLong << 32)
-    }: _*)
+    // ALL table buckets in one fused native expression: the former
+    // 64-node when(graft_dot(lit, vec) > 0) tree was semantically
+    // identical but fell out of whole-stage codegen at that size and
+    // evaluated interpreted — 56 of the query's 57 s at the sf10 bench
+    // were bucket computation. graft_lsh_buckets walks the plane matrix
+    // (attached once as a reference object) in one primitive loop,
+    // bit-identical (same accumulation order, strict > 0, null/mismatch
+    // sets no bit), so the DuckDB LCG-replay oracle is unaffected.
+    val planesLit = typedLit(planes.map(_.map(_.toSeq).toSeq).toSeq)
+    def bucketCols(vec: Column): Column =
+      graft.plans.LshBuckets.bucketsCol(emb.sparkSession, planesLit, vec)
     val v0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
     val v = v0.withColumn("bucket", explode(bucketCols(col("vec"))))

@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tok64"),
       new ExpressionInfo(classOf[Tok64Hash].getName, "graft_tok64"),
       Tok64Hash.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      LshBuckets.builder))
   }
 }
