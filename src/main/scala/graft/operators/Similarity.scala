@@ -190,24 +190,27 @@ object Similarity {
       (id, c, cc)
     }
 
-  /** Per-centroid (d2, list_id) structs over a frame with (vec, vv)
-    * columns — each centroid appears as one broadcast literal, evaluated
-    * inside whole-stage codegen. d2 = v·v + c·c − 2·(v·c), all ordered
-    * folds. */
-  private def scoredCols(v: DataFrame,
-      cents: Seq[(Int, Array[Double], Double)]): Seq[Column] = {
-    val ndot = graft.plans.DotProduct.dotCol(v.sparkSession, _: Column, _: Column)
-    cents.map { case (id, cv, cc) =>
-      struct((col("vv") + lit(cc) - lit(2.0) *
-        ndot(col("vec"), typedLit(cv.toSeq))).as("d2"), lit(id).as("id"))
-    }
-  }
+  /** Per-centroid (d2, list_id) struct ARRAY over a frame with a `vec`
+    * column, as one fused native expression (graft_centroid_scores).
+    * The former form — an `array()` of one broadcast-literal struct per
+    * centroid — produced identical values but stopped compiling once
+    * the auto-sized quantizer reached 1024 lists (Janino
+    * InternalCompilerException at the sf100 probe → silent interpreted
+    * fallback for the whole stage). d2 = v·v + c·c − 2·(v·c), all
+    * ordered folds, v·v recomputed inside the expression with the same
+    * fold the old `vv` column used — bit-identical structs, so the
+    * array_min/array_sort consumers and the DuckDB Lloyd-replay
+    * oracles are untouched. */
+  private def scoresCol(v: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)]): Column =
+    graft.plans.CentroidScores.scoresCol(v.sparkSession,
+      typedLit(cents.map(_._2.toSeq)), typedLit(cents.map(_._1)), col("vec"))
 
   /** Nearest-centroid id (argmin over the (d2, id) structs, ties to the
     * smaller list_id) as a single codegen'd expression. */
   private def argminCol(v: DataFrame,
       cents: Seq[(Int, Array[Double], Double)]): Column =
-    array_min(array(scoredCols(v, cents): _*)).getField("id")
+    array_min(scoresCol(v, cents)).getField("id")
 
   /** The deterministic fixed-iteration Lloyd coarse-quantizer fit shared
     * by [[ivfTopK]] and [[semDedupSurvivors]] — see the ivfTopK scaladoc
@@ -279,14 +282,13 @@ object Similarity {
     val n = v.count()
     val nl = if (nLists > 0) nLists else autoNLists(n)
     val cents = lloydFit(v, nl, iters, maxFitRows, n)
-    def scored(c: Seq[(Int, Array[Double], Double)]) = scoredCols(v, c)
     def argmin(c: Seq[(Int, Array[Double], Double)]) = argminCol(v, c)
 
     // nProbe nearest lists per query: sort the same (d2, id) structs and
     // take a bounded slice — still one codegen'd expression per row.
     val probes = v.where(col("vec_id") < nQueries)
       .withColumn("p",
-        explode(slice(array_sort(array(scored(cents): _*)), 1, nProbe)))
+        explode(slice(array_sort(scoresCol(v, cents)), 1, nProbe)))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("vv").as("qvv"), col("p.id").as("list_id"))
     val cand = v.where(col("vec_id") >= nQueries)

@@ -48,5 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       LshBuckets.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_centroid_scores"),
+      new ExpressionInfo(classOf[CentroidScores].getName,
+        "graft_centroid_scores"),
+      CentroidScores.builder))
   }
 }
