@@ -124,7 +124,7 @@ object Dedup {
     * 3× bucket replication already dominates.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-                   salts: Int = 1): DataFrame = {
+                   salts: Int = 1, routeThresholdDocs: Long = 200000L): DataFrame = {
     // ONE tokenize pass (localCheckpoint, the minhashLshPairs
     // precedent): four consumers — the df aggregate and the prefix
     // stream inside prefixTokens, and both verify-side attach joins —
@@ -154,21 +154,109 @@ object Dedup {
         col("nb") >= col("na") * threshold)
       .select("doc_a", "doc_b")
       .distinct()
-    // fixed-width long arrays attach to the DEDUPED candidate set only
-    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-      col("n_toks").as("na"))
-    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-      col("n_toks").as("nb"))
-    val inter = graft.plans.SortedIntersectSize
-      .intersectSizeCol(docs.sparkSession, col("toks_a"), col("toks_b"))
-    cand.join(ta, "doc_a").join(tb, "doc_b")
-      .withColumn("inter", inter)
-      // raw int/int division — bit-identical in any engine, so no ROUND
-      // (which Spark and DuckDB perform differently on binary doubles)
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    // Two verify shapes, same output. DIRECT attaches the token arrays
+    // with two plain joins — but the second one re-shuffles every
+    // candidate pair WITH doc_a's array attached (~|set|·8 B per PAIR:
+    // ~300 GB at sf100, where the r10 probe died on scratch). Above
+    // routeThresholdDocs the CLUSTER-ROUTED shape ships each doc's
+    // array once instead (see [[clusterRoutedVerify]]). The switch is a
+    // deterministic function of the corpus size, and both shapes are
+    // output-identical (spec-pinned), so the oracle is unaffected.
+    val direct = {
+      val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("n_toks").as("na"))
+      val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("n_toks").as("nb"))
+      val inter = graft.plans.SortedIntersectSize
+        .intersectSizeCol(docs.sparkSession, col("toks_a"), col("toks_b"))
+      cand.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("inter", inter)
+        // raw int/int division — bit-identical in any engine, so no ROUND
+        // (which Spark and DuckDB perform differently on binary doubles)
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }
+    if (toks.count() < routeThresholdDocs) direct
+    else clusterRoutedVerify(cand.localCheckpoint(), toks, threshold)
+  }
+
+  /** Sorted-set intersection size — the driver/executor-side twin of
+    * [[graft.plans.SortedIntersectSize]]'s two-pointer walk (same
+    * contract: both arrays ascending + distinct). */
+  private[graft] def intersectSorted(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+
+  /** One-exchange-per-input candidate-pair verification, routed by
+    * connected component (the r10 sf100 finding: the direct verify's
+    * second attach join ships doc_a's token array once per PAIR —
+    * ~300 GB of shuffle for a 246M-pair answer vs 55 GB of local
+    * scratch; the DATA only needs each doc's array once, because a
+    * candidate pair graph is clustered — every pair lies INSIDE a
+    * connected component by definition).
+    *
+    * Shape: label every candidate endpoint with its component id
+    * ([[duplicateClusters]] — id-only pointer-jumping shuffles), then
+    * `cogroup` the pairs and the token sets on the component key. Each
+    * input crosses the network exactly once — pair ids (~16 B/pair) and
+    * per-doc arrays (once per doc, not per pair) — and the per-component
+    * verify streams the pairs against an in-memory id→set map of that
+    * component only. A join-based spelling was tried first and rejected:
+    * with `spark.sql.requireAllClusterKeysForCoPartition` (default true
+    * since Spark 3.3) the subset-key partitioning reuse between the two
+    * attach joins is conf-dependent, and a sort-merge second join would
+    * external-sort the array-carrying intermediate (~the same 300 GB as
+    * spill). `cogroup` guarantees the shape structurally: the plan
+    * contains NO exchange whose rows carry both a pair id and a token
+    * array (spec-asserted in JaccardRouteSpec).
+    *
+    * Memory/skew: the per-group map holds one component's sets
+    * (|component| × |set| longs). Near-dup components are dup families —
+    * small and bounded — and a pathological giant component degrades
+    * parallelism/memory gracefully toward the direct shape's cost.
+    * Output-identical to the direct verify (spec-pinned): same
+    * two-pointer intersection, same int-then-double division.
+    */
+  private[graft] def clusterRoutedVerify(cand: DataFrame, toks: DataFrame,
+                                         threshold: Double): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val endpoints = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val cm = duplicateClusters(cand, endpoints)
+      .select(col("doc_id"), col("cluster_id").as("_cl"))
+    val pairsByCl = cand
+      .join(cm.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .select(col("_cl"), col("doc_a"), col("doc_b"))
+      .as[(Long, Long, Long)].groupByKey(_._1)
+    // docs outside any candidate pair drop here (inner join): nothing
+    // to verify
+    val toksByCl = toks.join(cm, "doc_id")
+      .select(col("_cl"), col("doc_id"), col("toks"))
+      .as[(Long, Long, Array[Long])].groupByKey(_._1)
+    pairsByCl.cogroup(toksByCl) { (_, ps, ts) =>
+      val sets = new java.util.HashMap[Long, Array[Long]]()
+      ts.foreach { case (_, id, tk) => sets.put(id, tk) }
+      ps.flatMap { case (_, a, b) =>
+        val ta = sets.get(a); val tb = sets.get(b)
+        if (ta == null || tb == null) Iterator.empty // unreachable: both endpoints are labeled
+        else {
+          val inter = intersectSorted(ta, tb)
+          // int arithmetic then one double division — bit-identical to
+          // the direct shape's cast(inter)/(na + nb − inter)
+          val j = inter.toDouble / (ta.length + tb.length - inter).toDouble
+          if (j >= threshold) Iterator.single((a, b, j)) else Iterator.empty
+        }
+      }
+    }.toDF("doc_a", "doc_b", "jaccard")
   }
 
   /** Connected components of a near-duplicate pair graph: every document

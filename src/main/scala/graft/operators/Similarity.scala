@@ -267,6 +267,114 @@ object Similarity {
     }
   }
 
+  /** Smallest s ≥ 1 with s² ≥ k — the super-centroid count of the
+    * two-level quantizer. Integer-only (no FP sqrt whose boundary
+    * rounding could diverge between engines): DuckDB replays it as
+    * `(SELECT MIN(s) FROM range(1, 34) r(s) WHERE s*s >= k)`. */
+  def superCount(k: Int): Int = {
+    require(k >= 1, s"superCount needs k >= 1, got $k")
+    Iterator.from(1).find(s => s.toLong * s >= k).get
+  }
+
+  /** Driver-side portable bucket (the [[Sampling.portableBucket]]
+    * arithmetic on a plain Long) — used by [[superQuantizer]]'s init
+    * pick, which runs over ≤ 1024 child centroids on the driver. */
+  private def portableBucketLocal(id: Long, seed: Int): Long = {
+    val P = 2147483647L
+    val x = (id + seed.toLong * 1103515245L) % P
+    val h = x * 48271L % P
+    (h ^ (h >> 16)) % 10000L
+  }
+
+  /** Second-level (super) quantizer over the k child centroids of a
+    * [[lloydFit]]: a driver-side deterministic Lloyd with the SAME
+    * arithmetic contract as the distributed fit — init = the
+    * [[superCount]]`(k)` children with smallest
+    * `(portableBucket(list_id, 17), list_id)`, numbered in that order;
+    * each round assigns children by `argmin (c·c + s·s) − 2·(c·s)`
+    * (ordered folds, ties to the smaller super id) and recomputes
+    * means through the integerized `floor(x·1e8 + 0.5)` exact-sum path
+    * (Long here ≡ DECIMAL(38,0) in SQL — k ≤ 1024 children keeps the
+    * sum far under 2⁵³, so the Double reconstruction is exact on both
+    * engines); an emptied super drops out. Pure driver arithmetic over
+    * ≤ 1024 points — metadata-scale at any corpus size — and
+    * bit-replayable by the oracle's `hinit…hcent2` CTE chain.
+    *
+    * Returns (supers sorted by super id, child list_id → super id map
+    * from a final argmin over the fitted supers).
+    */
+  private[graft] def superQuantizer(cents: Seq[(Int, Array[Double], Double)],
+      iters: Int): (Seq[(Int, Array[Double], Double)], Map[Int, Int]) = {
+    val children = cents.sortBy(_._1)
+    val ns = superCount(children.size)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // strict < over the id-sorted supers ⇒ ties to the smaller super id
+    def argmin(v: Array[Double], vv: Double,
+               sup: Seq[(Int, Array[Double], Double)]): Int = {
+      var best = -1; var bd = 0.0
+      sup.foreach { case (sid, sv, sc) =>
+        if (sv.length == v.length) {
+          val d2 = (vv + sc) - (2.0 * dot(v, sv))
+          if (best < 0 || d2 < bd) { best = sid; bd = d2 }
+        }
+      }
+      best
+    }
+    val init: Seq[(Int, Array[Double], Double)] = children
+      .sortBy { case (cid, _, _) => (portableBucketLocal(cid, 17), cid) }
+      .take(ns).zipWithIndex
+      .map { case ((_, v, cc), i) => (i, v, cc) }
+    val fin = (1 to iters).foldLeft(init) { case (sup, _) =>
+      children.map { case (_, v, cc) => (argmin(v, cc, sup), v) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (sid, vs) =>
+          val dim = vs.head._2.length
+          val mean = Array.tabulate(dim) { p =>
+            var s = 0L
+            vs.foreach { case (_, v) => s += math.floor(v(p) * 1e8 + 0.5).toLong }
+            s.toDouble / 1e8 / vs.size
+          }
+          var sc = 0.0; var i = 0
+          while (i < dim) { sc += mean(i) * mean(i); i += 1 }
+          (sid, mean, sc)
+        }
+    }
+    (fin, children.map { case (cid, v, cc) => cid -> argmin(v, cc, fin) }.toMap)
+  }
+
+  /** Hierarchical full-corpus assignment column: nearest super centroid
+    * first, then nearest child within that branch only — O(√k + k/√k)
+    * ≈ O(√k) centroid scores per vector instead of the flat argmin's
+    * O(k). With [[autoNLists]] growing k ∝ n, the flat assignment made
+    * the whole operator quadratic-in-n (the r10 sf100 probes measured
+    * 365 s / 348 s of pure assignment at 2M vectors × 1024 lists);
+    * two-level drops it to O(n·√k·d) while the per-list candidate work
+    * stays constant. Assignment is approximate in the usual IVF sense
+    * (a vector near a branch boundary may land in a neighboring list —
+    * recall, not determinism: both levels are exact argmin arithmetic
+    * the DuckDB oracle replays bit-for-bit). Supers that end up with
+    * zero children are excluded so every vector always lands in a
+    * populated branch.
+    */
+  private[graft] def hierArgminCol(v: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)], iters: Int): Column = {
+    val (sup, branchOf) = superQuantizer(cents, iters)
+    val children = cents.sortBy(_._1)
+    val byBranch = sup.map(_._1)
+      .map(sid => sid -> children.filter(c => branchOf(c._1) == sid))
+      .filter(_._2.nonEmpty)
+    val cfg = (
+      byBranch.map { case (sid, _) => sup.find(_._1 == sid).get._2.toSeq },
+      byBranch.flatMap(_._2.map(_._2.toSeq)),
+      byBranch.flatMap(_._2.map(_._1)),
+      byBranch.scanLeft(0)((acc, b) => acc + b._2.size))
+    graft.plans.HierArgmin.argminCol(v.sparkSession, typedLit(cfg), col("vec"))
+  }
+
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               nLists: Int = -1, nProbe: Int = 4, iters: Int = 2,
               maxFitRows: Long = 4096L): DataFrame = {
@@ -282,17 +390,18 @@ object Similarity {
     val n = v.count()
     val nl = if (nLists > 0) nLists else autoNLists(n)
     val cents = lloydFit(v, nl, iters, maxFitRows, n)
-    def argmin(c: Seq[(Int, Array[Double], Double)]) = argminCol(v, c)
 
-    // nProbe nearest lists per query: sort the same (d2, id) structs and
-    // take a bounded slice — still one codegen'd expression per row.
+    // nProbe nearest lists per query: sort the (d2, id) structs over ALL
+    // children and take a bounded slice — the query side is bounded
+    // (nQueries rows), so the flat O(k) scoring stays metadata-scale and
+    // buys probe recall; only the CORPUS assignment goes hierarchical.
     val probes = v.where(col("vec_id") < nQueries)
       .withColumn("p",
         explode(slice(array_sort(scoresCol(v, cents)), 1, nProbe)))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("vv").as("qvv"), col("p.id").as("list_id"))
     val cand = v.where(col("vec_id") >= nQueries)
-      .withColumn("list_id", argmin(cents))
+      .withColumn("list_id", hierArgminCol(v, cents, iters))
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
         col("vv").as("cvv"), col("list_id"))
     val w = Window.partitionBy("query_id")
@@ -386,15 +495,13 @@ object Similarity {
     val n = v.count()
     val nl = if (nLists > 0) nLists else autoNLists(n)
     // the assignment is materialized ONCE (localCheckpoint, the
-    // duplicateClusters precedent): its expression tree inlines all
-    // nLists×dim centroid literals, and the three consumers below (both
-    // self-join sides + the anti-join left) would each re-plan, re-
-    // codegen and re-execute that giant tree — at nLists=16, dim=64 the
-    // repeated plan alone is ~100 KB and planning/compile dominates the
-    // operator. One corpus-sized write is the price; at real scale it
-    // replaces three full scan+assign passes.
+    // duplicateClusters precedent): the three consumers below (both
+    // self-join sides + the anti-join left) would each re-execute the
+    // full-corpus two-level assignment. One corpus-sized write is the
+    // price; at real scale it replaces three full scan+assign passes.
     val asg = v.withColumn("list_id",
-      argminCol(v, lloydFit(v, nl, iters, maxFitRows, n))).localCheckpoint()
+      hierArgminCol(v, lloydFit(v, nl, iters, maxFitRows, n), iters))
+      .localCheckpoint()
     // the self-join key carries a SALT (a-side by id, b-side replicated
     // ×salts) so one cluster's quadratic pair work spreads over `salts`
     // tasks instead of one — the within-cluster comparison is the

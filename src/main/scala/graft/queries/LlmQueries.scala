@@ -119,7 +119,73 @@ object LlmQueries {
        |  GROUP BY list_id, pos),
        |cent2 AS (SELECT list_id, cvec, list_dot_product(cvec, cvec) AS cc
        |  FROM (SELECT list_id, list(c ORDER BY pos) AS cvec
-       |        FROM m2 GROUP BY list_id))""".stripMargin
+       |        FROM m2 GROUP BY list_id)),
+       |$superOracleCtes""".stripMargin
+
+  /** Replay of [[Similarity.superQuantizer]] + the two-level corpus
+    * assignment ([[Similarity.hierArgminCol]] / graft_hier_argmin):
+    * super count = smallest s with s² ≥ k (integer-only); init = the
+    * ns children with smallest (portableBucket(list_id, 17), list_id),
+    * numbered in that order; two Lloyd rounds over the k children with
+    * the integerized DECIMAL(38,0) mean path; `hbranch` = each child's
+    * final super; `hsup` drops childless supers (so no vector can
+    * strand); `vsup` = each corpus vector's nearest populated super.
+    * Consumers argmin the children of `vsup`'s branch only — ties
+    * (d2, id) at every level, all dot products ordered folds. Appended
+    * to [[lloydOracleCtes]] so the hierarchy can never drift from the
+    * child fit it quantizes. */
+  private lazy val superOracleCtes: String =
+    s"""hns AS (SELECT MIN(s) AS ns FROM range(1, 34) r(s),
+       |    (SELECT COUNT(*) AS k FROM cent2) kc WHERE s*s >= kc.k),
+       |hinit AS (SELECT super_id, cvec AS svec, cc AS sc FROM (
+       |    SELECT cvec, cc,
+       |      ROW_NUMBER() OVER (ORDER BY ${Sampling.portableBucketSql("list_id", 17)},
+       |        list_id) - 1 AS super_id
+       |    FROM cent2) WHERE super_id < (SELECT ns FROM hns)),
+       |hasg1 AS (SELECT list_id, cvec, cc, super_id FROM (
+       |    SELECT c.list_id, c.cvec, c.cc, s.super_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.list_id
+       |        ORDER BY c.cc + s.sc - 2*list_dot_product(c.cvec, s.svec),
+       |                 s.super_id) AS rn
+       |    FROM cent2 c CROSS JOIN hinit s) WHERE rn = 1),
+       |hm1 AS (SELECT super_id, pos,
+       |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+       |      / 1e8 / COUNT(*) AS c
+       |  FROM (SELECT super_id, generate_subscripts(cvec, 1) AS pos,
+       |          unnest(cvec) AS x FROM hasg1)
+       |  GROUP BY super_id, pos),
+       |hcent1 AS (SELECT super_id, svec, list_dot_product(svec, svec) AS sc
+       |  FROM (SELECT super_id, list(c ORDER BY pos) AS svec
+       |        FROM hm1 GROUP BY super_id)),
+       |hasg2 AS (SELECT list_id, cvec, cc, super_id FROM (
+       |    SELECT c.list_id, c.cvec, c.cc, s.super_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.list_id
+       |        ORDER BY c.cc + s.sc - 2*list_dot_product(c.cvec, s.svec),
+       |                 s.super_id) AS rn
+       |    FROM cent2 c CROSS JOIN hcent1 s) WHERE rn = 1),
+       |hm2 AS (SELECT super_id, pos,
+       |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+       |      / 1e8 / COUNT(*) AS c
+       |  FROM (SELECT super_id, generate_subscripts(cvec, 1) AS pos,
+       |          unnest(cvec) AS x FROM hasg2)
+       |  GROUP BY super_id, pos),
+       |hcent2 AS (SELECT super_id, svec, list_dot_product(svec, svec) AS sc
+       |  FROM (SELECT super_id, list(c ORDER BY pos) AS svec
+       |        FROM hm2 GROUP BY super_id)),
+       |hbranch AS (SELECT list_id, super_id FROM (
+       |    SELECT c.list_id, s.super_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.list_id
+       |        ORDER BY c.cc + s.sc - 2*list_dot_product(c.cvec, s.svec),
+       |                 s.super_id) AS rn
+       |    FROM cent2 c CROSS JOIN hcent2 s) WHERE rn = 1),
+       |hsup AS (SELECT super_id, svec, sc FROM hcent2
+       |  WHERE super_id IN (SELECT super_id FROM hbranch)),
+       |vsup AS (SELECT vec_id, super_id FROM (
+       |    SELECT x.vec_id, s.super_id,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY x.vv + s.sc - 2*list_dot_product(x.vec, s.svec),
+       |                 s.super_id) AS rn
+       |    FROM vv x CROSS JOIN hsup s) WHERE rn = 1)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -688,7 +754,9 @@ object LlmQueries {
              |        ORDER BY x.vv + c.cc - 2*list_dot_product(x.vec, c.cvec),
              |                 c.list_id) AS rn
              |    FROM (SELECT * FROM vv WHERE vec_id >= 5) x
-             |    CROSS JOIN cent2 c) WHERE rn = 1),
+             |    JOIN vsup vs ON vs.vec_id = x.vec_id
+             |    JOIN hbranch br ON br.super_id = vs.super_id
+             |    JOIN cent2 c ON c.list_id = br.list_id) WHERE rn = 1),
              |r AS (SELECT query_id, neighbor_id,
              |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
              |      list_dot_product(qvec, cvec) / (sqrt(qvv) * sqrt(cvv)) DESC,
@@ -753,7 +821,10 @@ object LlmQueries {
              |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
              |        ORDER BY x.vv + c.cc - 2*list_dot_product(x.vec, c.cvec),
              |                 c.list_id) AS rn
-             |    FROM vv x CROSS JOIN cent2 c) WHERE rn = 1),
+             |    FROM vv x
+             |    JOIN vsup vs ON vs.vec_id = x.vec_id
+             |    JOIN hbranch br ON br.super_id = vs.super_id
+             |    JOIN cent2 c ON c.list_id = br.list_id) WHERE rn = 1),
              |pruned AS (SELECT DISTINCT b.vec_id
              |  FROM asg a JOIN asg b ON a.list_id = b.list_id
              |    AND a.vec_id < b.vec_id

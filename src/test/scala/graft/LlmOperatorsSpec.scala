@@ -239,9 +239,17 @@ class LlmOperatorsSpec extends SparkSpec {
     val vecs = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("vec"))
       .as[(Long, Seq[Double])].collect()
+    // r11: assignment is TWO-LEVEL (nearest populated super, then
+    // nearest child of that branch) — mirror it from superQuantizer's
+    // output so the reference stays independent of graft_hier_argmin
+    val (sup, branchOf) = Similarity.superQuantizer(cents, 2)
+    val populated = branchOf.values.toSet
+    val supOk = sup.filter(s => populated.contains(s._1))
     val asg = vecs.map { case (id, vec) =>
       val n = dot(vec, vec)
-      val cid = cents.map { case (c, cv, cc) =>
+      val sid = supOk.map { case (s, sv, sc) =>
+        (n + sc - 2 * dot(vec, sv.toSeq), s) }.min._2
+      val cid = cents.filter(c => branchOf(c._1) == sid).map { case (c, cv, cc) =>
         (n + cc - 2 * dot(vec, cv.toSeq), c) }.min._2
       (id, cid, vec, n)
     }
