@@ -19,7 +19,10 @@ object BenchOne {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
     Dedup.minhashLshPairs(docs, 0.9, bands = 8, rows = 8).count()
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val runsRaw = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3")
+    val runs = runsRaw.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_RUNS must be an integer, got '$runsRaw'"))
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -285,7 +285,7 @@ object TextAnalysis {
     * stream carries only documents containing a query term); df and
     * the corpus totals are term-count-sized and broadcast; the final
     * top-k is a TakeOrdered, never a full sort. */
-  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+  def bm25RawIdfTopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty && k >= 1, "need query terms and k >= 1")
     val words = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
     val len = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
@@ -304,8 +304,8 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .withColumn("s8",
         floor(lit(100000000.0) * score + lit(0.5)).cast("long"))
-      .groupBy("doc_id").agg(sum("s8").as("bm25_x8"))
-      .orderBy(desc("bm25_x8"), asc("doc_id"))
+      .groupBy("doc_id").agg(sum("s8").as("bm25_rsj_x8"))
+      .orderBy(desc("bm25_rsj_x8"), asc("doc_id"))
       .limit(k)
   }
 

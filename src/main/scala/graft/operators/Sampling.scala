@@ -25,6 +25,16 @@ object Sampling {
 
   private val P = 2147483647L // 2^31 − 1 (Mersenne prime)
 
+  /** Fail fast if the input frame already carries one of an operator's
+    * internal working columns — a silent collision would corrupt the
+    * join/filter arithmetic (ADVICE r10). */
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns collide with internal working columns: " +
+        s"${clash.mkString(", ")} (rename them before calling)")
+  }
+
   /** Portable per-id bucket in [0, granularity): Lehmer step + xor fold.
     * Expressible verbatim in any SQL engine (64-bit intermediate values
     * only; all non-negative for non-negative ids — callers with signed
@@ -279,6 +289,7 @@ object Sampling {
                       granularity: Int = 10000): DataFrame = {
     require(weights.values.forall(_ >= 0) && weightDen > 0,
       "weights must be non-negative integer numerators over a positive denominator")
+    requireNoReserved(df, Seq("_stratum", "_n_stratum", "_n_total"))
     val counts = df.groupBy(col(stratumCol).as("_stratum"))
       .agg(count(lit(1)).as("_n_stratum"))
     val total = df.agg(count(lit(1)).as("_n_total"))
@@ -321,6 +332,7 @@ object Sampling {
                           idCol: String = "doc_id", seed: Int = 42,
                           granularity: Int = 10000): DataFrame = {
     require(totalTarget >= 0, s"totalTarget must be >= 0, got $totalTarget")
+    requireNoReserved(df, Seq("_stratum", "_n_stratum", "_w", "_w_tot"))
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val counts = df.groupBy(col(stratumCol).as("_stratum"))
       .agg(count(lit(1)).as("_n_stratum"))

@@ -112,7 +112,13 @@ object Similarity {
     val planesLit = typedLit(planes.map(_.map(_.toSeq).toSeq).toSeq)
     def bucketCols(vec: Column): Column =
       graft.plans.LshBuckets.bucketsCol(emb.sparkSession, planesLit, vec)
+    // whole-null vectors are excluded from LSH EXPLICITLY (visible in
+    // the plan as a filter) rather than via graft_lsh_buckets' null →
+    // NULL-array → explode-drop semantics — same rows out, but the
+    // contract no longer hides in expression null propagation (r10
+    // ADVICE); the oracle side has no null vectors by data contract
     val v0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .where(col("vec").isNotNull)
       .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
     val v = v0.withColumn("bucket", explode(bucketCols(col("vec"))))
     val q = v.where(col("vec_id") < nQueries)
@@ -373,6 +379,49 @@ object Similarity {
       byBranch.flatMap(_._2.map(_._1)),
       byBranch.scanLeft(0)((acc, b) => acc + b._2.size))
     graft.plans.HierArgmin.argminCol(v.sparkSession, typedLit(cfg), col("vec"))
+  }
+
+  /** The beyond-the-literal-cap spelling of [[hierArgminCol]]: the super
+    * level stays a fused literal expression (≤ √k ≤ 1024 centroids — a
+    * few-hundred-KB reference object at any realistic k), but the CHILD
+    * matrix becomes a broadcast-joined TABLE keyed by super_id, so the
+    * child count is no longer bounded by what fits in a task binary.
+    * Per vector: one codegen'd super argmin, a broadcast join that fans
+    * out to that branch's ~√k children, and a map-side-combining
+    * `min_by((d2, list_id))` — n·√k streamed rows, but the shuffle is
+    * one row per vector (the partial min). Returns (vec_id, list_id),
+    * bit-identical to [[hierArgminCol]] (HierQuantizerSpec pins
+    * equality): same two-level argmin, same ordered-fold d2, same
+    * (d2, id) tie-break via the struct ordering of min_by.
+    *
+    * `v` must carry (vec_id, vec). Applicability: superQuantizer's
+    * driver-side Lloyd is comfortable to k ~ 10⁴ children (≥ 10⁹-vector
+    * corpora at the n/1024 sizing); beyond that the super fit itself
+    * should become a distributed [[lloydFit]] — a third level.
+    */
+  private[graft] def hierAssignByTable(v: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)], iters: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+    val (sup, branchOf) = superQuantizer(cents, iters)
+    val populated = branchOf.values.toSet
+    val supOk = sup.filter(s => populated.contains(s._1))
+    val superId = array_min(graft.plans.CentroidScores.scoresCol(spark,
+      typedLit(supOk.map(_._2.toSeq)), typedLit(supOk.map(_._1)),
+      col("vec"))).getField("id")
+    val kids = cents.sortBy(_._1)
+      .map { case (cid, cv, cc) => (branchOf(cid), cid, cv.toSeq, cc) }
+      .toDF("super_id", "list_id", "cvec", "cc")
+    v.select(col("vec_id"), col("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+      .withColumn("super_id", superId)
+      .join(broadcast(kids), "super_id")
+      .withColumn("d2",
+        col("vv") + col("cc") - lit(2.0) * ndot(col("vec"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(min_by(col("list_id"), struct(col("d2"), col("list_id")))
+        .as("list_id"))
   }
 
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,

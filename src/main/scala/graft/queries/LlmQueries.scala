@@ -851,25 +851,82 @@ object LlmQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Approximate aggregates (sketches) — the 100 TB path for distinct
-    // counts / quantiles. Sketch internals are engine-specific, so no
-    // cross-engine oracle exists; accuracy vs exact is asserted in
-    // ApproxAggSpec instead (rows-only here).
+    // counts / quantiles. Sketch VALUES are engine-specific (HLL++ vs
+    // DuckDB's HLL, GK vs t-digest), so the oracled projection is the
+    // TOLERANCE CONTRACT instead: each engine computes its own sketch
+    // AND the exact answer, and emits the exact value plus a boolean
+    // "sketch within documented bound" flag. Both engines' sketches are
+    // deterministic for a given dataset, so the flags hash-compare —
+    // and go red if either engine's sketch drifts out of bound.
+    // (ApproxAggSpec additionally pins Spark-side accuracy numerically.)
     Q("q_approx_distinct",
       (s, dir) => {
         val e = events(s, dir)
+        // rsd 0.02 → flag at 3σ = 6% relative error, integer-compared
+        // (|approx − exact| · 100 ≤ 6 · exact avoids FP thresholds)
         e.groupBy("event_type").agg(
-          approx_count_distinct("user_id", 0.02).as("approx_users"),
-          approx_count_distinct("event_id", 0.02).as("approx_events"))
+          approx_count_distinct("user_id", 0.02).as("au"),
+          approx_count_distinct("event_id", 0.02).as("ae"),
+          countDistinct(col("user_id")).as("exact_users"),
+          countDistinct(col("event_id")).as("exact_events"))
+          .select(col("event_type"), col("exact_users"), col("exact_events"),
+            (abs(col("au") - col("exact_users")) * 100 <=
+              col("exact_users") * 6).as("users_ok"),
+            (abs(col("ae") - col("exact_events")) * 100 <=
+              col("exact_events") * 6).as("events_ok"))
           .orderBy("event_type")
       },
-      None),
+      Some("""SELECT event_type,
+             |  COUNT(DISTINCT user_id) AS exact_users,
+             |  COUNT(DISTINCT event_id) AS exact_events,
+             |  abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) * 100
+             |    <= COUNT(DISTINCT user_id) * 6 AS users_ok,
+             |  abs(approx_count_distinct(event_id) - COUNT(DISTINCT event_id)) * 100
+             |    <= COUNT(DISTINCT event_id) * 6 AS events_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Quantile tolerance via RANK windows (robust to ties): the sketch
+    // value v passes for target rank p ∈ [lo, hi] iff
+    // count(value < v) ≤ hi·n AND count(value ≤ v) ≥ lo·n — the true
+    // rank interval of v then overlaps [lo, hi]. Spark's GK sketch at
+    // accuracy 1000 guarantees rank error ≤ 0.001; DuckDB's t-digest is
+    // unbounded formally but lands far inside ±0.03/±0.03 in practice.
+    // All comparisons integer (×100), no FP thresholds.
     Q("q_approx_quantiles",
-      (s, dir) => events(s, dir).groupBy("event_type").agg(
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"))
-        .orderBy("event_type"),
-      None),
+      (s, dir) => {
+        val e = events(s, dir)
+        val ap = e.groupBy("event_type").agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("a50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("a95"))
+        e.join(ap, "event_type").groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("value") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+            sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("le95"))
+          .select(col("event_type"), col("n"),
+            (col("lt50") * 100 <= col("n") * 53 &&
+              col("le50") * 100 >= col("n") * 47).as("p50_ok"),
+            (col("lt95") * 100 <= col("n") * 98 &&
+              col("le95") * 100 >= col("n") * 92).as("p95_ok"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ap AS (
+             |  SELECT event_type,
+             |    approx_quantile(value, 0.5) AS a50,
+             |    approx_quantile(value, 0.95) AS a95
+             |  FROM events GROUP BY event_type)
+             |SELECT e.event_type, COUNT(*) AS n,
+             |  SUM(CASE WHEN e.value < ap.a50 THEN 1 ELSE 0 END) * 100
+             |      <= COUNT(*) * 53
+             |    AND SUM(CASE WHEN e.value <= ap.a50 THEN 1 ELSE 0 END) * 100
+             |      >= COUNT(*) * 47 AS p50_ok,
+             |  SUM(CASE WHEN e.value < ap.a95 THEN 1 ELSE 0 END) * 100
+             |      <= COUNT(*) * 98
+             |    AND SUM(CASE WHEN e.value <= ap.a95 THEN 1 ELSE 0 END) * 100
+             |      >= COUNT(*) * 92 AS p95_ok
+             |FROM events e JOIN ap USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
     // A REAL byte-level image-header decode over constructed PNG/JPEG
     // payloads: a third of the corpus becomes a PNG (signature + IHDR),
@@ -1624,10 +1681,10 @@ object LlmQueries {
     // BM25 top-k retrieval for a fixed query bag — raw RSJ odds instead
     // of log-IDF (libm parity; same per-term monotone ranking) and
     // per-term scores integerized before the per-doc sum so the double
-    // sum is order-independent. See functions/TextAnalysis.bm25TopK.
+    // sum is order-independent. See functions/TextAnalysis.bm25RawIdfTopK.
     Q("q_text_bm25_topk",
       (s, dir) => TextAnalysis
-        .bm25TopK(documents(s, dir), Seq("vector", "merge", "stream"), 10),
+        .bm25RawIdfTopK(documents(s, dir), Seq("vector", "merge", "stream"), 10),
       Some("""WITH w AS (SELECT doc_id,
              |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
              |  FROM documents),
@@ -1646,9 +1703,9 @@ object LlmQueries {
              |      AS BIGINT) AS s8
              |  FROM tf JOIN len USING (doc_id) JOIN df USING (word)
              |    CROSS JOIN tot)
-             |SELECT doc_id, CAST(SUM(s8) AS BIGINT) AS bm25_x8
+             |SELECT doc_id, CAST(SUM(s8) AS BIGINT) AS bm25_rsj_x8
              |FROM ts GROUP BY 1
-             |ORDER BY bm25_x8 DESC, doc_id LIMIT 10""".stripMargin)),
+             |ORDER BY bm25_rsj_x8 DESC, doc_id LIMIT 10""".stripMargin)),
 
     // Temperature-scaled mixture (T = 2): stratum share ∝ √n_lang,
     // integerized weights (floor(1000·√n) — sqrt is IEEE correctly

@@ -303,6 +303,43 @@ class CurationSpec extends SparkSpec {
       .collect().exists(_ => true))
   }
 
+  test("bigram LM: occurrence collapse shrinks join input on Zipfian multiplicities") {
+    // A Zipfian-multiplicity corpus (each doc repeats a few bigrams many
+    // times — the real-crawl shape where the r8 collapse pays ~13×; the
+    // GenScale sf100 data eroded it by diversifying the vocabulary, see
+    // BASELINE.md). This pins (a) the collapse stays IN THE PLAN — the
+    // first join's bigram side aggregates to (doc, bigram, k) BEFORE
+    // joining — and (b) the collapsed arithmetic still weights by the
+    // full multiplicity, so a refactor can't silently drop either half.
+    val d = (0 until 8).map { i =>
+      val reps = 1 << (i % 4 + 3) // 8..64 repeats per doc of one phrase
+      (i.toLong, (s"alpha beta " * reps).trim)
+    }.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = TextAnalysis.bigramLmScores(d)
+    // (b) multiplicity preserved: per-doc n_bigrams == occurrence count
+    val n = out.select("doc_id", "n_bigrams").as[(Long, Long)].collect().toMap
+    (0 until 8).foreach { i =>
+      val reps = 1 << (i % 4 + 3)
+      assert(n(i.toLong) == 2L * reps - 1, s"doc $i multiplicity lost")
+    }
+    // (a) the collapse is structural: below the FIRST join of the plan
+    // there is an aggregate keyed (doc_id, lang, bigram) — join input is
+    // distinct-bigram rows (3 per doc here), not occurrence rows (~127)
+    val plan = out.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    val bottomJoin = joins.last // innermost join (bgc ⋈ c2)
+    def hasCollapse(p: LogicalPlan): Boolean = p.collectFirst {
+      case a: Aggregate
+        if a.groupingExpressions.size == 3 &&
+          a.groupingExpressions.flatMap(_.references.map(_.name))
+            .toSet == Set("doc_id", "lang", "bigram") => a
+    }.isDefined
+    assert(bottomJoin.children.exists(hasCollapse),
+      s"per-(doc,bigram) collapse missing below the first join:\n$plan")
+  }
+
   test("CDC chunking: edit-stable spans, full coverage, degenerate inputs") {
     val words = (1 to 200).map(i => s"w${i * 7919 % 997}")
     val orig = words.mkString(" ")

@@ -112,6 +112,18 @@ class HierQuantizerSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("broadcast-table child level == fused literal path (the nLists>1024 shape)") {
+    val df = (0 until 400).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 10 - 5).toSeq)
+    }.toDF("vec_id", "vec")
+    val lit = df.withColumn("list_id", Similarity.hierArgminCol(df, cents, 2))
+      .select("vec_id", "list_id").as[(Long, Int)].collect().toMap
+    val tab = Similarity.hierAssignByTable(df, cents, 2)
+      .as[(Long, Int)].collect().toMap
+    assert(tab.size == 400)
+    assert(tab == lit)
+  }
+
   test("superQuantizer is deterministic and empty supers drop") {
     val (s1, b1) = Similarity.superQuantizer(cents, iters = 2)
     val (s2, b2) = Similarity.superQuantizer(cents, iters = 2)

@@ -14,7 +14,7 @@ class RetrievalMixtureSpec extends SparkSpec {
       (1L, "cat dog"),
       (2L, "cat cat mouse"),
       (3L, "bird bird bird bird")).toDF("doc_id", "text")
-    val out = TextAnalysis.bm25TopK(d, Seq("cat"), 10)
+    val out = TextAnalysis.bm25RawIdfTopK(d, Seq("cat"), 10)
       .as[(Long, Long)].collect().toSeq
     // mirror of the column expression in plain doubles (identical IEEE
     // operation order → identical bits)
@@ -34,7 +34,7 @@ class RetrievalMixtureSpec extends SparkSpec {
       (2L, "alpha alpha"),
       (3L, "beta gamma"),
       (4L, "gamma gamma")).toDF("doc_id", "text")
-    val out = TextAnalysis.bm25TopK(d, Seq("alpha", "beta"), 2)
+    val out = TextAnalysis.bm25RawIdfTopK(d, Seq("alpha", "beta"), 2)
       .as[(Long, Long)].collect()
     assert(out.length == 2)
     // doc 1 matches both terms — its two per-term scores sum, beating
