@@ -73,9 +73,18 @@ object Dedup {
     * prefix when t·n sits on an exact-integer boundary that floating
     * multiplication overshoots, so it cannot lose pairs.
     *
-    * Returns (doc_id, lang, n_toks, tok) — one row per prefix token.
-    * Both shuffles scale linearly: the df aggregate map-side combines
-    * on the token, the rank window partitions per document. */
+    * Returns (doc_id, lang, n_toks, tok, ptoks) — one row per prefix
+    * token, each row also carrying `ptoks`, the doc's FULL prefix-token
+    * set sorted ascending. At any threshold the prefix is the short end
+    * of the document (`n − ⌈t·n⌉ + 1` tokens — ~3 at t = 0.9), so the
+    * array is a few extra longs per row; it exists so the candidate
+    * join can dedup pair occurrences IN-STAGE via
+    * [[graft.plans.SortedFirstCommon]] instead of shuffling them into a
+    * `distinct()` (see [[jaccardPairs]]). Both shuffles scale linearly:
+    * the df aggregate map-side combines on the token, the rank window
+    * partitions per document (the prefix-array collect reuses the same
+    * per-document partitioning — one exchange, two in-partition
+    * passes). */
   private[graft] def prefixTokens(toks: DataFrame,
                                   threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -91,7 +100,10 @@ object Dedup {
       .withColumn("_rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("_df"), col("tok"))))
       .where(col("_rk") <= p)
-      .select("doc_id", "lang", "n_toks", "tok")
+      .withColumn("ptoks", array_sort(collect_list(col("tok")).over(
+        Window.partitionBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+      .select("doc_id", "lang", "n_toks", "tok", "ptoks")
   }
 
   /** Word-set Jaccard similarity pairs with J ≥ threshold. Returns
@@ -138,22 +150,35 @@ object Dedup {
     // the df aggregate + rank window
     val pfx = prefixTokens(toks, threshold).localCheckpoint()
     val a = pfx.select(col("doc_id").as("doc_a"), col("lang"),
-      col("tok"), col("n_toks").as("na"))
+      col("tok"), col("n_toks").as("na"), col("ptoks").as("pa"))
       .withColumn("size_bucket", sizeBucket(col("na"), threshold))
       // scrambled id (murmur3), not raw id mod salts: strided id
       // allocation must not skew the salt spread (semDedup precedent)
       .withColumn("salt", pmod(hash(col("doc_a")), lit(salts)).cast("int"))
     val bkt = sizeBucket(col("nb"), threshold)
     val b = pfx.select(col("doc_id").as("doc_b"), col("lang"),
-      col("tok"), col("n_toks").as("nb"))
+      col("tok"), col("n_toks").as("nb"), col("ptoks").as("pb"))
       .withColumn("size_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
       .withColumn("salt", explode(lit((0 until salts).toArray)))
+    // Canonical-occurrence dedup IN the join stage (the minhash
+    // FirstEqualIndex shape): a pair sharing m prefix tokens meets m
+    // times, and a `distinct()` would shuffle every occurrence — the
+    // r11 sf100 probe measured that occurrence stream alone overflowing
+    // local scratch before any verify ran. Keeping a pair only where
+    // the join token is the SMALLEST shared prefix token (both sides'
+    // ~3-token sorted prefix arrays ride the join rows; one codegen'd
+    // two-pointer walk per candidate) evaluates each pair exactly once
+    // with no dedup exchange at all. Buckets and salts cannot
+    // double-count: side a pins its own bucket and salt, so a pair
+    // meets a given shared token at most once.
+    val firstCommon = graft.plans.SortedFirstCommon
+      .firstCommonCol(docs.sparkSession, col("pa"), col("pb"))
     val cand = a.join(b, Seq("lang", "size_bucket", "tok", "salt"))
       .where(col("doc_a") < col("doc_b") &&
         col("na") >= col("nb") * threshold &&
-        col("nb") >= col("na") * threshold)
+        col("nb") >= col("na") * threshold &&
+        firstCommon === col("tok"))
       .select("doc_a", "doc_b")
-      .distinct()
     // Two verify shapes, same output. DIRECT attaches the token arrays
     // with two plain joins — but the second one re-shuffles every
     // candidate pair WITH doc_a's array attached (~|set|·8 B per PAIR:
@@ -179,7 +204,14 @@ object Dedup {
         .select("doc_a", "doc_b", "jaccard")
     }
     if (toks.count() < routeThresholdDocs) direct
-    else clusterRoutedVerify(cand.localCheckpoint(), toks, threshold)
+    else {
+      val c = cand.localCheckpoint() // eager: candidate generation runs here
+      // reclaim the generation stages' shuffle files (tokenize/df/rank/
+      // join/distinct) before CC + verify allocate their own — the
+      // checkpoint truncated the lineage, so a GC frees them
+      System.gc()
+      clusterRoutedVerify(c, toks, threshold)
+    }
   }
 
   /** Sorted-set intersection size — the driver/executor-side twin of
@@ -287,6 +319,15 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
+    // Each round leaves its join/aggregate shuffle files on local disk
+    // until the ContextCleaner sees the dependency objects COLLECTED —
+    // and a driver that never GCs mid-loop accumulates every round's
+    // files (the r11 sf100 jaccard probe filled 58 GB of scratch inside
+    // the CC loop this way). On corpus-sized graphs, nudge a full GC per
+    // round so round N−1's shuffles are reclaimed while round N runs;
+    // skipped on small graphs where a full GC would cost more than the
+    // round.
+    val bigGraph = edges.count() > 10000000L
     // Propagate over docs ∪ pair endpoints: a caller may pass pairs whose
     // nodes were filtered out of `docs`, and paths THROUGH such nodes
     // must still connect (only the output is restricted to docs).
@@ -331,6 +372,7 @@ object Dedup {
       labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
       prevSum = nextSum
+      if (bigGraph) System.gc() // release the round's shuffle files (see above)
     }
     labels.join(docs.select("doc_id").distinct(), "doc_id")
       .select(col("doc_id"), col("label").as("cluster_id"))

@@ -233,10 +233,11 @@ object Similarity {
     * SemDeDup paper runs ~100k clusters over LAION) holds cluster
     * size — and with it the quadratic term and per-probe candidate
     * count — constant. Integer-only so the DuckDB oracle reproduces
-    * it: `greatest(16, least(1024, n // 1024))`. The 1024 cap keeps
-    * the centroid set a codegen-friendly literal array; beyond it
-    * (≥ ~10⁶ vectors/list at 10⁹ rows) the centroids should become a
-    * broadcast-joined table instead of inline literals. */
+    * it: `greatest(16, least(1024, n // 1024))`. The 1024 cap bounds
+    * the reference-object matrices the fused assignment expressions
+    * carry; past it, [[hierAssignByTable]] (spec-pinned equal) moves
+    * the child level into a broadcast-joined table, and the remaining
+    * lift is scaling the fit sample with the list count. */
   def autoNLists(n: Long): Int =
     math.max(16L, math.min(1024L, n / 1024L)).toInt
 

@@ -76,6 +76,31 @@ class ArrayExprSpec extends SparkSpec {
     assert(r.getInt(1) === 2)
   }
 
+  test("sorted_first_common == min(array_intersect); null on disjoint/empty/null") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(300) {
+      val a = Seq.fill(rnd.nextInt(8))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(8))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(6L)))
+    val df = rows.toDF("a", "b")
+    val got = df.withColumn("fc",
+        graft.plans.SortedFirstCommon.firstCommonCol(spark, col("a"), col("b")))
+      .select("a", "b", "fc")
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    got.foreach { case (a, b, fc) =>
+      val want = a.toSet.intersect(b.toSet).minOption
+      assert(fc == want, s"a=$a b=$b")
+    }
+    // null array → null
+    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .withColumn("fc",
+        graft.plans.SortedFirstCommon.firstCommonCol(spark, col("a"), col("b")))
+    assert(n.select("fc").collect().head.isNullAt(0))
+  }
+
   test("both expressions stay inside whole-stage codegen") {
     val toks = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), TextAnalysis.sortedTokenSet(col("text")).as("toks"))

@@ -35,9 +35,14 @@ class JaccardRouteSpec extends SparkSpec {
     val direct = Dedup.jaccardPairs(corpus, 0.5,
         routeThresholdDocs = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val routed = Dedup.jaccardPairs(corpus, 0.5, routeThresholdDocs = 0L)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val routedRows = Dedup.jaccardPairs(corpus, 0.5, routeThresholdDocs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val routed = routedRows.toSet
     assert(direct.nonEmpty, "corpus must produce pairs for the spec to bite")
+    // the in-join canonical-occurrence dedup must emit each pair ONCE
+    // (there is no distinct() downstream to hide a double-count)
+    assert(routedRows.size == routed.size,
+      s"duplicate pairs emitted: ${routedRows.size} rows, ${routed.size} unique")
     assert(routed == direct)
   }
 
