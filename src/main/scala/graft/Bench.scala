@@ -6,7 +6,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -62,6 +63,12 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // SPARK_GRAFT_SINGLE=1: one timed run per query, no medians/primes —
+    // for the very large scale factors (sf100's heavy queries run
+    // minutes each; a median-of-3 + prime would take hours for numbers
+    // whose purpose is order-of-magnitude scaling ratios). The driver
+    // never sets this, so contract runs keep the median discipline.
+    val single = sys.env.get("SPARK_GRAFT_SINGLE").contains("1")
     // a failing query must be VISIBLE in the output, not silently timed
     // as a fast success deflating the total
     val failed = scala.collection.mutable.SortedSet[String]()
@@ -94,7 +101,7 @@ object Bench {
     def median3(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val r1 = once(name, fn)
-      if (failed(name)) r1
+      if (single || failed(name)) r1
       else Seq(r1, once(name, fn), once(name, fn))
         .sorted(Ordering.Double.TotalOrdering)(1)
     }
@@ -114,7 +121,7 @@ object Bench {
     }
     val heavyResults = heavyQ.map { case (name, fn) =>
       maybeGc()
-      once(name, fn) // untimed prime
+      if (!single) once(name, fn) // untimed prime
       name -> (if (failed(name)) 0.0 else median3(name, fn))
     }
     val results = lightResults ++ heavyResults

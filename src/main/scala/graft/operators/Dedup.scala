@@ -206,9 +206,11 @@ object Dedup {
     if (toks.count() < routeThresholdDocs) direct
     else {
       val c = cand.localCheckpoint() // eager: candidate generation runs here
+      // the prefix stream's blocks are dead once candidates exist
+      pfx.unpersist()
       // reclaim the generation stages' shuffle files (tokenize/df/rank/
-      // join/distinct) before CC + verify allocate their own — the
-      // checkpoint truncated the lineage, so a GC frees them
+      // join) before CC + verify allocate their own — the checkpoint
+      // truncated the lineage, so a GC frees them
       System.gc()
       clusterRoutedVerify(c, toks, threshold)
     }
@@ -263,7 +265,8 @@ object Dedup {
     import spark.implicits._
     val endpoints = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val cm = duplicateClusters(cand, endpoints)
+    val cm = duplicateClusters(cand, endpoints,
+      maxRounds = 50, pairsMaterialized = true)
       .select(col("doc_id"), col("cluster_id").as("_cl"))
     val pairsByCl = cand
       .join(cm.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -314,11 +317,19 @@ object Dedup {
     * partitioning.
     */
   def duplicateClusters(pairs: DataFrame, docs: DataFrame,
-                        maxRounds: Int = 50): DataFrame = {
+                        maxRounds: Int = 50,
+                        pairsMaterialized: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+    // When the caller's pairs frame is ALREADY materialized (the routed
+    // jaccard verify hands in a localCheckpoint), re-checkpointing its
+    // ×2 projection only doubles the block-store footprint (30 GB at
+    // the sf100 probe, which tipped the box over) — the per-round scans
+    // are narrow maps over the existing blocks. A lazy caller (a whole
+    // operator pipeline) still gets the checkpoint so rounds don't
+    // re-execute it.
+    val edges = if (pairsMaterialized) edges0 else edges0.localCheckpoint(true)
     // Each round leaves its join/aggregate shuffle files on local disk
     // until the ContextCleaner sees the dependency objects COLLECTED —
     // and a driver that never GCs mid-loop accumulates every round's
@@ -335,6 +346,19 @@ object Dedup {
       .unionByName(edges.select(col("src").as("doc_id"))).distinct()
     var labels = nodes.withColumn("label", col("doc_id"))
       .localCheckpoint(true)
+    // The label table is NODE-sized while the edge list is PAIR-sized —
+    // near-dup graphs run ~100+ edges per node, so joining them
+    // sort-merge re-shuffles the edge list every round (the r11 sf100
+    // probe: 1.9B edge rows × ~45 GB/round against 5M labels).
+    // Broadcasting the labels streams the edges straight from their
+    // checkpoint blocks: per-round shuffle drops to the map-side-combined
+    // aggregate (≤ nodes rows per mapper). Nodes-bounded, so safe to
+    // ~20M nodes (~300 MB broadcast); past that — a 10⁹-doc corpus on a
+    // real cluster — the hint is dropped and the planner's shuffle join
+    // spreads the edge exchange across executors instead.
+    val nNodes = labels.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nNodes <= 20000000L) broadcast(df) else df
     // Labels only ever DECREASE (min of self + neighbors), so the exact
     // per-round label sum is equal iff no label changed — one aggregate
     // per round instead of a join + count. DECIMAL(38,0): exact at any
@@ -351,7 +375,7 @@ object Dedup {
       round += 1
       require(round <= maxRounds, s"CC did not converge in $maxRounds rounds")
       val fromNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .join(maybeBroadcast(labels.withColumnRenamed("doc_id", "src")), "src")
         .select(col("dst").as("doc_id"), col("label"))
       val propagated = labels.unionByName(fromNeighbors)
         .groupBy("doc_id").agg(min("label").as("label"))
@@ -363,7 +387,8 @@ object Dedup {
       // label because every node's label ≤ its own id.
       val mapping = propagated
         .select(col("doc_id").as("map_src"), col("label").as("map_dst"))
-      val next = propagated.join(mapping, col("label") === col("map_src"), "left")
+      val next = propagated
+        .join(maybeBroadcast(mapping), col("label") === col("map_src"), "left")
         .select(col("doc_id"),
           coalesce(col("map_dst"), col("label")).as("label"))
         .localCheckpoint(true)

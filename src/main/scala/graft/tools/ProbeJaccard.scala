@@ -15,7 +15,8 @@ object ProbeJaccard {
     val threshold = if (args.length > 1) args(1).toDouble else 0.9
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,7 +62,8 @@ object ProbeJaccard {
     val endpoints = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     val cm = t("duplicateClusters")(
-      graft.operators.Dedup.duplicateClusters(cand, endpoints)
+      graft.operators.Dedup.duplicateClusters(cand, endpoints,
+        maxRounds = 50, pairsMaterialized = true)
         .localCheckpoint())
     val sizes = cm.groupBy("cluster_id").agg(count(lit(1)).as("n"))
       .localCheckpoint()
