@@ -315,10 +315,31 @@ object Dedup {
     * iteration count; the driver holds only a change COUNT, never the
     * graph. Returns (doc_id, cluster_id), deterministic for any input
     * partitioning.
+    *
+    * Edge CONTRACTION (the r11 sf100 finding — CC was 817 s of the
+    * ~1190 s jaccard run because every round re-streamed the full
+    * 1.9B-row edge list): above `contractAboveEdges`, each round ends
+    * by relabeling the edge list through the freshly propagated labels
+    * and keeping only edges whose endpoints still differ. A label is
+    * always the id of a node in the SAME component (propagation only
+    * moves ids along edges), so edge (label(u), label(v)) connects
+    * exactly the components (u, v) did — the quotient graph has the
+    * same component structure — and every node stays linked to its
+    * representative through the label pointer the jump keeps
+    * resolving. Near-dup pair graphs are dup FAMILIES (the sf100
+    * component histogram: median 2, p99 ≈ 2k, near-cliques from
+    * prefix blocking), so one propagation round collapses almost every
+    * edge to equal labels and the `la != lb` filter drops them
+    * MAP-SIDE before the distinct's exchange: the full edge list is
+    * streamed ~twice (round 1 + the first contraction) instead of
+    * once per round, and rounds 2+ run over a vanishing remainder.
+    * Output-identical for any threshold (spec-pinned: contraction
+    * every round vs never on path/family graphs).
     */
   def duplicateClusters(pairs: DataFrame, docs: DataFrame,
                         maxRounds: Int = 50,
-                        pairsMaterialized: Boolean = false): DataFrame = {
+                        pairsMaterialized: Boolean = false,
+                        contractAboveEdges: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -329,7 +350,11 @@ object Dedup {
     // are narrow maps over the existing blocks. A lazy caller (a whole
     // operator pipeline) still gets the checkpoint so rounds don't
     // re-execute it.
-    val edges = if (pairsMaterialized) edges0 else edges0.localCheckpoint(true)
+    var edges = if (pairsMaterialized) edges0 else edges0.localCheckpoint(true)
+    // the checkpoint whose blocks back `edges`, when THIS call made it
+    // (safe to unpersist after a contraction replaces it) — the
+    // pairsMaterialized frame belongs to the caller
+    var edgesCkpt: Option[DataFrame] = if (pairsMaterialized) None else Some(edges)
     // Each round leaves its join/aggregate shuffle files on local disk
     // until the ContextCleaner sees the dependency objects COLLECTED —
     // and a driver that never GCs mid-loop accumulates every round's
@@ -338,7 +363,7 @@ object Dedup {
     // round so round N−1's shuffles are reclaimed while round N runs;
     // skipped on small graphs where a full GC would cost more than the
     // round.
-    val bigGraph = edges.count() > 10000000L
+    var edgeCount = edges.count()
     // Propagate over docs ∪ pair endpoints: a caller may pass pairs whose
     // nodes were filtered out of `docs`, and paths THROUGH such nodes
     // must still connect (only the output is restricted to docs).
@@ -397,7 +422,34 @@ object Dedup {
       labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
       prevSum = nextSum
-      if (bigGraph) System.gc() // release the round's shuffle files (see above)
+      // Edge contraction (scaladoc above): relabel the edge list through
+      // the new labels, keep only still-crossing edges. The la != lb
+      // filter drops intra-family edges before the distinct's exchange,
+      // so the contracted list materializes at quotient-graph size.
+      val wasBig = edgeCount > 10000000L
+      if (!converged && edgeCount > contractAboveEdges) {
+        val la = next.select(col("doc_id").as("src"), col("label").as("la"))
+        val lb = next.select(col("doc_id").as("dst"), col("label").as("lb"))
+        val ck = edges
+          .join(maybeBroadcast(la), "src")
+          .join(maybeBroadcast(lb), "dst")
+          .where(col("la") =!= col("lb"))
+          .select(col("la").as("src"), col("lb").as("dst"))
+          .distinct()
+          .localCheckpoint(true)
+        edgesCkpt.foreach(_.unpersist())
+        // fresh attribute lineage over the checkpointed blocks: the
+        // contracted list derives from `next`, and NEXT round joins it
+        // back against the same label table — shared expression ids
+        // across the propagation union's children trip Catalyst's
+        // constraint rewrite (NoSuchElementException in
+        // UnionBase.rewriteConstraints). Quotient-graph-sized, so the
+        // Row round-trip is noise.
+        edges = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+        edgesCkpt = Some(ck)
+        edgeCount = edges.count()
+      }
+      if (wasBig) System.gc() // release the round's shuffle files (see above)
     }
     labels.join(docs.select("doc_id").distinct(), "doc_id")
       .select(col("doc_id"), col("label").as("cluster_id"))

@@ -226,27 +226,45 @@ object Similarity {
     * (list_id, centroid, c·c); an emptied list drops out (k shrinks).
     */
   /** Coarse-quantizer list count for an `n`-vector corpus: n/1024
-    * clamped to [16, 1024]. A FIXED nLists is quadratic at scale —
+    * clamped to [16, 16384]. A FIXED nLists is quadratic at scale —
     * within-cluster pair work is n²/nLists, so 10× data at constant
     * lists is 100× pairs (the r9 sf10 bench measured semdedup 16× and
     * IVF ~10× for 10× data); growing lists with the corpus (the
     * SemDeDup paper runs ~100k clusters over LAION) holds cluster
     * size — and with it the quadratic term and per-probe candidate
     * count — constant. Integer-only so the DuckDB oracle reproduces
-    * it: `greatest(16, least(1024, n // 1024))`. The 1024 cap bounds
-    * the reference-object matrices the fused assignment expressions
-    * carry; past it, [[hierAssignByTable]] (spec-pinned equal) moves
-    * the child level into a broadcast-joined table, and the remaining
-    * lift is scaling the fit sample with the list count. */
+    * it: `greatest(16, least(16384, n // 1024))`.
+    *
+    * The cap was 1024 through r10 (the task-binary bound of the FUSED
+    * literal assignment, and the within-cluster pair work went
+    * quadratic again past 1M vectors — semdedup's remaining 165 s at
+    * the r11 sf100 probe was exactly the capped ~2k-vector clusters).
+    * r11 lifts it to 16384: past 1024 lists the corpus assignment
+    * routes through [[hierAssignByTable]] (broadcast child TABLE,
+    * spec-pinned bit-equal to the literal path), the fit sample scales
+    * with the list count ([[lloydFit]]'s `4·nLists` floor), and only
+    * the FIT-round argmin still carries the k-row literal matrix
+    * (≤ 8 MB at the new cap, over the ≤ 4·k-row sample — metadata
+    * scale). At 16384 the cap next binds at ~16M vectors/partition-box;
+    * beyond that [[superQuantizer]]'s driver Lloyd (O(k·√k·d) ≈
+    * 134 MFLOP at the cap) and the fit-round literal are the levers —
+    * a third quantizer level, documented in [[hierAssignByTable]]. */
   def autoNLists(n: Long): Int =
-    math.max(16L, math.min(1024L, n / 1024L)).toInt
+    math.max(16L, math.min(16384L, n / 1024L)).toInt
 
   def lloydFit(v: DataFrame, nLists: Int, iters: Int,
                maxFitRows: Long, nRows: Long = -1L): Seq[(Int, Array[Double], Double)] = {
     val n = if (nRows >= 0L) nRows else v.count()
+    // The fit sample scales with the list count (floor 4·nLists): a
+    // FIXED cap starves the init past maxFitRows/4 lists (init takes
+    // the first nLists sample rows; k-means needs a few points per
+    // cluster to move the means at all). max() keeps the small-corpus
+    // arithmetic — and the sf0.01 DuckDB Lloyd replay — unchanged;
+    // the oracle spells the same formula as greatest(maxFitRows, 4*nl).
+    val fitRows = math.max(maxFitRows, 4L * nLists)
     val fit = v.where(
         Sampling.portableBucket(col("vec_id"), 7) * lit(n) <
-          lit(maxFitRows * 10000L))
+          lit(fitRows * 10000L))
       .localCheckpoint() // ≤ ~maxFitRows rows; reused every Lloyd round
 
     val init: Seq[(Int, Array[Double])] = fit
@@ -277,7 +295,7 @@ object Similarity {
   /** Smallest s ≥ 1 with s² ≥ k — the super-centroid count of the
     * two-level quantizer. Integer-only (no FP sqrt whose boundary
     * rounding could diverge between engines): DuckDB replays it as
-    * `(SELECT MIN(s) FROM range(1, 34) r(s) WHERE s*s >= k)`. */
+    * `(SELECT MIN(s) FROM range(1, 130) r(s) WHERE s*s >= k)`. */
   def superCount(k: Int): Int = {
     require(k >= 1, s"superCount needs k >= 1, got $k")
     Iterator.from(1).find(s => s.toLong * s >= k).get
@@ -285,7 +303,7 @@ object Similarity {
 
   /** Driver-side portable bucket (the [[Sampling.portableBucket]]
     * arithmetic on a plain Long) — used by [[superQuantizer]]'s init
-    * pick, which runs over ≤ 1024 child centroids on the driver. */
+    * pick, which runs over ≤ 16384 child centroids on the driver. */
   private def portableBucketLocal(id: Long, seed: Int): Long = {
     val P = 2147483647L
     val x = (id + seed.toLong * 1103515245L) % P
@@ -301,10 +319,10 @@ object Similarity {
     * each round assigns children by `argmin (c·c + s·s) − 2·(c·s)`
     * (ordered folds, ties to the smaller super id) and recomputes
     * means through the integerized `floor(x·1e8 + 0.5)` exact-sum path
-    * (Long here ≡ DECIMAL(38,0) in SQL — k ≤ 1024 children keeps the
+    * (Long here ≡ DECIMAL(38,0) in SQL — k ≤ 16384 children keeps the
     * sum far under 2⁵³, so the Double reconstruction is exact on both
     * engines); an emptied super drops out. Pure driver arithmetic over
-    * ≤ 1024 points — metadata-scale at any corpus size — and
+    * ≤ 16384 points — metadata-scale at any corpus size — and
     * bit-replayable by the oracle's `hinit…hcent2` CTE chain.
     *
     * Returns (supers sorted by super id, child list_id → super id map
@@ -390,10 +408,16 @@ object Similarity {
     * Per vector: one codegen'd super argmin, a broadcast join that fans
     * out to that branch's ~√k children, and a map-side-combining
     * `min_by((d2, list_id))` — n·√k streamed rows, but the shuffle is
-    * one row per vector (the partial min). Returns (vec_id, list_id),
+    * one row per vector (the partial min). Returns
+    * (vec_id, vec, vv, list_id) — the vector and its norm ride the
+    * group key so consumers need no attach join — with list_id
     * bit-identical to [[hierArgminCol]] (HierQuantizerSpec pins
     * equality): same two-level argmin, same ordered-fold d2, same
-    * (d2, id) tie-break via the struct ordering of min_by.
+    * (d2, id) tie-break via the struct ordering of min_by. One
+    * null-semantics divergence, deliberate: a vector with a null
+    * element DROPS here (null super_id never matches the inner join)
+    * where the literal path emits a null list_id — the same
+    * filter-nulls-in-the-plan contract annTopK adopted in r10.
     *
     * `v` must carry (vec_id, vec). Applicability: superQuantizer's
     * driver-side Lloyd is comfortable to k ~ 10⁴ children (≥ 10⁹-vector
@@ -420,10 +444,26 @@ object Similarity {
       .join(broadcast(kids), "super_id")
       .withColumn("d2",
         col("vv") + col("cc") - lit(2.0) * ndot(col("vec"), col("cvec")))
-      .groupBy("vec_id")
+      // vec/vv in the GROUP KEY (identical within a vec_id group), so
+      // the one-row-per-vector shuffle already carries them — no attach
+      // join downstream
+      .groupBy(col("vec_id"), col("vec"), col("vv"))
       .agg(min_by(col("list_id"), struct(col("d2"), col("list_id")))
         .as("list_id"))
+      .select("vec_id", "vec", "vv", "list_id")
   }
+
+  /** Corpus-side list assignment, routed by child count: at ≤ 1024
+    * children the fused literal [[hierArgminCol]] (zero joins, pure
+    * codegen); past it the [[hierAssignByTable]] broadcast-table shape,
+    * whose reference objects stay √k-sized at any k. `v` must be
+    * exactly (vec_id, vec, vv) — both branches return those columns
+    * plus list_id. */
+  private def assignLists(v: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)], iters: Int): DataFrame =
+    if (cents.size <= 1024)
+      v.withColumn("list_id", hierArgminCol(v, cents, iters))
+    else hierAssignByTable(v, cents, iters)
 
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               nLists: Int = -1, nProbe: Int = 4, iters: Int = 2,
@@ -450,8 +490,7 @@ object Similarity {
         explode(slice(array_sort(scoresCol(v, cents)), 1, nProbe)))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("vv").as("qvv"), col("p.id").as("list_id"))
-    val cand = v.where(col("vec_id") >= nQueries)
-      .withColumn("list_id", hierArgminCol(v, cents, iters))
+    val cand = assignLists(v.where(col("vec_id") >= nQueries), cents, iters)
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
         col("vv").as("cvv"), col("list_id"))
     val w = Window.partitionBy("query_id")
@@ -549,8 +588,7 @@ object Similarity {
     // self-join sides + the anti-join left) would each re-execute the
     // full-corpus two-level assignment. One corpus-sized write is the
     // price; at real scale it replaces three full scan+assign passes.
-    val asg = v.withColumn("list_id",
-      hierArgminCol(v, lloydFit(v, nl, iters, maxFitRows, n), iters))
+    val asg = assignLists(v, lloydFit(v, nl, iters, maxFitRows, n), iters)
       .localCheckpoint()
     // the self-join key carries a SALT (a-side by id, b-side replicated
     // ×salts) so one cluster's quadratic pair work spreads over `salts`

@@ -65,8 +65,9 @@ object LlmQueries {
 
   /** Shared oracle CTE chain replaying [[Similarity.lloydFit]] bit-exact
     * with the registry parameters (auto-sized nLists =
-    * `greatest(16, least(1024, n // 1024))` ≡ [[Similarity.autoNLists]],
-    * both Lloyd rounds unrolled, maxFitRows=4096, bucket seeds 7/17):
+    * `greatest(16, least(16384, n // 1024))` ≡ [[Similarity.autoNLists]],
+    * both Lloyd rounds unrolled, fit rows = greatest(4096, 4·nl) ≡
+    * [[Similarity.lloydFit]]'s scaled sample, bucket seeds 7/17):
     * portable-hash fit sample, hash-spread init, integerized
     * DECIMAL(38,0) centroid means, all dot products ordered folds
     * (`list_dot_product`). ONE definition interpolated into BOTH
@@ -80,9 +81,10 @@ object LlmQueries {
        |                     CAST(embedding AS DOUBLE[])) AS vv
        |  FROM embeddings),
        |prm AS (SELECT COUNT(*) AS n FROM vv),
-       |nlc AS (SELECT greatest(16, least(1024, n // 1024)) AS nl FROM prm),
-       |fit AS (SELECT vv.* FROM vv, prm
-       |  WHERE ${Sampling.portableBucketSql("vec_id", 7)} * n < ${4096L * 10000L}),
+       |nlc AS (SELECT greatest(16, least(16384, n // 1024)) AS nl FROM prm),
+       |fit AS (SELECT vv.* FROM vv, prm, nlc
+       |  WHERE ${Sampling.portableBucketSql("vec_id", 7)} * n
+       |    < greatest(4096, 4 * nl) * 10000),
        |init AS (SELECT vec, vv, list_id FROM (
        |  SELECT vec, vv,
        |      ROW_NUMBER() OVER (ORDER BY pb, vec_id) - 1 AS list_id
@@ -135,7 +137,7 @@ object LlmQueries {
     * to [[lloydOracleCtes]] so the hierarchy can never drift from the
     * child fit it quantizes. */
   private lazy val superOracleCtes: String =
-    s"""hns AS (SELECT MIN(s) AS ns FROM range(1, 34) r(s),
+    s"""hns AS (SELECT MIN(s) AS ns FROM range(1, 130) r(s),
        |    (SELECT COUNT(*) AS k FROM cent2) kc WHERE s*s >= kc.k),
        |hinit AS (SELECT super_id, cvec AS svec, cc AS sc FROM (
        |    SELECT cvec, cc,

@@ -119,6 +119,7 @@ class HierQuantizerSpec extends SparkSpec {
     val lit = df.withColumn("list_id", Similarity.hierArgminCol(df, cents, 2))
       .select("vec_id", "list_id").as[(Long, Int)].collect().toMap
     val tab = Similarity.hierAssignByTable(df, cents, 2)
+      .select("vec_id", "list_id")
       .as[(Long, Int)].collect().toMap
     assert(tab.size == 400)
     assert(tab == lit)

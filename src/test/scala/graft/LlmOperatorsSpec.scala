@@ -332,6 +332,36 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(c2 === Seq((0L, 1000L), (1000L, 1001L)))
   }
 
+  test("duplicate clusters: edge contraction every round == never (path + families)") {
+    import spark.implicits._
+    // contractAboveEdges = 0 forces a contraction after EVERY round —
+    // the corpus-scale path — and must be output-identical to the
+    // default (threshold never reached at this size). Path graph:
+    // adversarial for contraction because labels converge gradually,
+    // so the quotient graph stays non-trivial for O(log n) rounds.
+    val n = 500L
+    val chain = spark.range(n).select(col("id").as("doc_a"),
+      (col("id") + 1).as("doc_b"))
+    val docs = spark.range(n + 1).select(col("id").as("doc_id"))
+    def runCC(pairs: org.apache.spark.sql.DataFrame,
+              ds: org.apache.spark.sql.DataFrame, thr: Long) =
+      Dedup.duplicateClusters(pairs, ds, maxRounds = 25,
+          contractAboveEdges = thr)
+        .as[(Long, Long)].collect().sorted.toSeq
+    assert(runCC(chain.toDF(), docs.toDF(), 0L) ===
+      runCC(chain.toDF(), docs.toDF(), Long.MaxValue))
+    // family graph (the near-dup shape: near-cliques + a bridge):
+    // two 40-doc cliques bridged through one shared doc, plus isolated
+    // singletons — contraction collapses each family in round 1
+    val fam = (for {
+      base <- Seq(1000L, 2000L); i <- 0 until 40; j <- (i + 1) until 40
+    } yield (base + i, base + j)) :+ (1039L, 2000L)
+    val famDocs = (fam.flatMap(p => Seq(p._1, p._2)).distinct ++
+      Seq(9001L, 9002L)).toDF("doc_id")
+    assert(runCC(fam.toDF("doc_a", "doc_b"), famDocs, 0L) ===
+      runCC(fam.toDF("doc_a", "doc_b"), famDocs, Long.MaxValue))
+  }
+
   test("int8 quantization: range, saturation at the max, bounded dequant error") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val rows = graft.operators.Similarity.quantizeInt8(emb)

@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Direct JVM launcher for graft mains (Bench/BenchOne/Probe*/GenScale):
+# same classpath and JVM flags as sbt's forked run (build.sbt), without
+# taking the sbt build lock. Usage:
+#   SPARK_DRIVER_MEM=80g tools/run.sh graft.BenchOne q_embed_semdedup
+set -euo pipefail
+CLASSES=/root/repo/target/scala-2.13/classes
+JARS=$(ls /opt/spark/jars/*.jar | tr '\n' ':')
+OPENS=(java.base/java.lang java.base/java.lang.invoke \
+  java.base/java.lang.reflect java.base/java.io java.base/java.net \
+  java.base/java.nio java.base/java.util java.base/java.util.concurrent \
+  java.base/java.util.concurrent.atomic java.base/sun.nio.ch \
+  java.base/sun.nio.cs java.base/sun.security.action \
+  java.base/sun.util.calendar)
+FLAGS=()
+for p in "${OPENS[@]}"; do FLAGS+=(--add-opens "$p=ALL-UNNAMED"); done
+exec java "${FLAGS[@]}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  "-Xmx${SPARK_DRIVER_MEM:-24g}" \
+  -cp "$CLASSES:$JARS" "$@"
