@@ -408,11 +408,11 @@ object Similarity {
     * Per vector: one codegen'd super argmin, a broadcast join that fans
     * out to that branch's ~√k children, and a map-side-combining
     * `min_by((d2, list_id))` — n·√k streamed rows, but the shuffle is
-    * one row per vector (the partial min). Returns
-    * (vec_id, vec, vv, list_id) — the vector and its norm ride the
-    * group key so consumers need no attach join — with list_id
-    * bit-identical to [[hierArgminCol]] (HierQuantizerSpec pins
-    * equality): same two-level argmin, same ordered-fold d2, same
+    * one row per vector (the partial min) and the rows entering the
+    * aggregate are NARROW (vec_id, list_id, d2). Returns
+    * (vec_id, list_id), bit-identical to [[hierArgminCol]]
+    * (HierQuantizerSpec pins equality): same two-level argmin, same
+    * ordered-fold d2, same
     * (d2, id) tie-break via the struct ordering of min_by. One
     * null-semantics divergence, deliberate: a vector with a null
     * element DROPS here (null super_id never matches the inner join)
@@ -444,26 +444,35 @@ object Similarity {
       .join(broadcast(kids), "super_id")
       .withColumn("d2",
         col("vv") + col("cc") - lit(2.0) * ndot(col("vec"), col("cvec")))
-      // vec/vv in the GROUP KEY (identical within a vec_id group), so
-      // the one-row-per-vector shuffle already carries them — no attach
-      // join downstream
-      .groupBy(col("vec_id"), col("vec"), col("vv"))
+      // NARROW rows into the aggregate — (long, int, double) only. An
+      // earlier draft carried vec/vv in the group key to spare an
+      // attach join; an array-typed grouping key forces the n·√k-row
+      // aggregate out of hash aggregation into an external sort of
+      // ~600 B rows (measured 165 → 1168 s at sf100). The n-sized
+      // attach join in [[assignLists]] is orders cheaper.
+      .select("vec_id", "list_id", "d2")
+      .groupBy("vec_id")
       .agg(min_by(col("list_id"), struct(col("d2"), col("list_id")))
         .as("list_id"))
-      .select("vec_id", "vec", "vv", "list_id")
   }
 
-  /** Corpus-side list assignment, routed by child count: at ≤ 1024
+  /** Corpus-side list assignment, routed by child count: at ≤ literalCap
     * children the fused literal [[hierArgminCol]] (zero joins, pure
-    * codegen); past it the [[hierAssignByTable]] broadcast-table shape,
-    * whose reference objects stay √k-sized at any k. `v` must be
-    * exactly (vec_id, vec, vv) — both branches return those columns
-    * plus list_id. */
-  private def assignLists(v: DataFrame,
-      cents: Seq[(Int, Array[Double], Double)], iters: Int): DataFrame =
-    if (cents.size <= 1024)
+    * codegen — the child matrix rides the expression as a reference
+    * object, ~0.5 KB/child, so 4096 is ~2 MB of task binary, measured
+    * materially faster than the join shape: sf100 semdedup at k=1953
+    * read 206–355 s via the table path vs 165 s-class literal); past it
+    * the [[hierAssignByTable]] broadcast-table shape + an n-sized
+    * attach join, whose reference objects stay √k-sized at any k. `v`
+    * must be exactly (vec_id, vec, vv) — both branches return those
+    * columns plus list_id. */
+  private[graft] def assignLists(v: DataFrame,
+      cents: Seq[(Int, Array[Double], Double)], iters: Int,
+      literalCap: Int = 4096): DataFrame =
+    if (cents.size <= literalCap)
       v.withColumn("list_id", hierArgminCol(v, cents, iters))
-    else hierAssignByTable(v, cents, iters)
+    else // n-sized attach join: both sides shuffle once on vec_id
+      v.join(hierAssignByTable(v, cents, iters), "vec_id")
 
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               nLists: Int = -1, nProbe: Int = 4, iters: Int = 2,

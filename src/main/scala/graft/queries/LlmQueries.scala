@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Retrieval, Sampling, Similarity}
 import Tables._
 
 /** Driver-contract queries for the LLM-training-data operator families
@@ -1708,6 +1708,57 @@ object LlmQueries {
              |SELECT doc_id, CAST(SUM(s8) AS BIGINT) AS bm25_rsj_x8
              |FROM ts GROUP BY 1
              |ORDER BY bm25_rsj_x8 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 top-25 and
+    // the exact-cosine top-25 vs the vec_id=0 query embedding
+    // (doc_id ≡ vec_id). Ranks are exact integers; 1/(60+rank) and the
+    // fixed two-term sum are engine-identical IEEE ops, so the rrf
+    // double hash-compares. See operators/Retrieval.rrfHybridTopK.
+    Q("q_retrieval_rrf",
+      (s, dir) => Retrieval.rrfHybridTopK(documents(s, dir),
+        embeddings(s, dir), Seq("vector", "merge", "stream"),
+        queryVecId = 0L, kEach = 25, k = 15),
+      Some("""WITH w AS (SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+             |  FROM documents),
+             |len AS (SELECT doc_id, COUNT(*) AS len FROM w GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n_docs,
+             |    CAST(SUM(len) AS DOUBLE) AS total_len FROM len),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+             |  WHERE word IN ('vector', 'merge', 'stream') GROUP BY 1, 2),
+             |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+             |ts AS (SELECT tf.doc_id,
+             |    CAST(floor(100000000.0 *
+             |      ((tot.n_docs - df.df + 0.5) / (df.df + 0.5) *
+             |       (tf.tf * 2.2) /
+             |       (tf.tf + 1.2 * (0.25 +
+             |         0.75 * len.len * tot.n_docs / tot.total_len))) + 0.5)
+             |      AS BIGINT) AS s8
+             |  FROM tf JOIN len USING (doc_id) JOIN df USING (word)
+             |    CROSS JOIN tot),
+             |bm AS (SELECT doc_id, CAST(SUM(s8) AS BIGINT) AS s FROM ts
+             |  GROUP BY 1 ORDER BY s DESC, doc_id LIMIT 25),
+             |sp AS (SELECT doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r_sparse
+             |  FROM bm),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+             |  FROM embeddings),
+             |qv AS (SELECT vec AS qvec FROM v WHERE vec_id = 0),
+             |cs AS (SELECT c.vec_id, list_dot_product(q.qvec, c.vec) /
+             |      (sqrt(list_dot_product(q.qvec, q.qvec)) *
+             |       sqrt(list_dot_product(c.vec, c.vec))) AS cos
+             |  FROM v c CROSS JOIN qv q WHERE c.vec_id <> 0),
+             |dn0 AS (SELECT vec_id, cos FROM cs
+             |  ORDER BY cos DESC, vec_id LIMIT 25),
+             |dn AS (SELECT vec_id AS doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_dense
+             |  FROM dn0)
+             |SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+             |  COALESCE(CAST(1 AS DOUBLE) / (60 + r_sparse), CAST(0 AS DOUBLE))
+             |    + COALESCE(CAST(1 AS DOUBLE) / (60 + r_dense), CAST(0 AS DOUBLE))
+             |    AS rrf
+             |FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
+             |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin)),
 
     // Temperature-scaled mixture (T = 2): stratum share ∝ √n_lang,
     // integerized weights (floor(1000·√n) — sqrt is IEEE correctly

@@ -125,6 +125,30 @@ class HierQuantizerSpec extends SparkSpec {
     assert(tab == lit)
   }
 
+  test("assignLists routes >1024 children through the attach join, output == literal") {
+    // 1100 synthetic children with literalCap=1024 force the table branch (broadcast-table
+    // assignment + the n-sized attach join) — the sf100 semdedup path —
+    // and must match the fused literal assignment row-for-row,
+    // INCLUDING the re-attached vec/vv columns.
+    val bigCents: Seq[(Int, Array[Double], Double)] = (0 until 1100).map { i =>
+      val c = Array.tabulate(dim)(d =>
+        (if (d == i % dim) 4.0 else 0.0) + ((i * 31 + d * 7) % 97) / 97.0)
+      (i, c, { var s = 0.0; c.foreach(x => s += x * x); s })
+    }
+    val df = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 8 - 4).toSeq)
+    }.toDF("vec_id", "vec")
+      .withColumn("vv", graft.plans.DotProduct.dotCol(spark, col("vec"), col("vec")))
+    val routed = Similarity.assignLists(df, bigCents, 2, literalCap = 1024)
+    assert(routed.columns.toSeq === Seq("vec_id", "vec", "vv", "list_id"))
+    val got = routed.select("vec_id", "list_id")
+      .as[(Long, Int)].collect().toMap
+    val lit = df.withColumn("list_id", Similarity.hierArgminCol(df, bigCents, 2))
+      .select("vec_id", "list_id").as[(Long, Int)].collect().toMap
+    assert(got.size == 300)
+    assert(got == lit)
+  }
+
   test("superQuantizer is deterministic and empty supers drop") {
     val (s1, b1) = Similarity.superQuantizer(cents, iters = 2)
     val (s2, b2) = Similarity.superQuantizer(cents, iters = 2)

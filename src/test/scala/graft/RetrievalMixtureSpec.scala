@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.Sampling
+import graft.operators.{Retrieval, Sampling}
 
 /** Behavior specs for BM25 top-k retrieval and temperature-scaled
   * mixture resampling. */
@@ -70,5 +70,41 @@ class RetrievalMixtureSpec extends SparkSpec {
     // T = 2 keeps a larger FRACTION of the small stratum
     assert(fracSmall > fracBig,
       s"small-stratum fraction $fracSmall should exceed big's $fracBig")
+  }
+
+  test("rrf hybrid: fuses known sparse and dense rankings by 1/(60+rank)") {
+    // Sparse ranking by construction (same doc length, tf decides):
+    // doc 1 > doc 2 > doc 3 on "vector"; docs 4/5 never match.
+    val docs = Seq(
+      (1L, "vector vector vector pad pad pad"),
+      (2L, "vector vector filler pad pad pad"),
+      (3L, "vector filler filler pad pad pad"),
+      (4L, "other terms only here pad pad"),
+      (5L, "more other terms here pad pad")
+    ).toDF("doc_id", "text")
+    // Dense ranking by construction vs query vec_id=0 (unit x-axis):
+    // doc 2 (cos 1) > doc 4 > doc 1; docs 3/5 orthogonal.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.5, 0.5, 0.0, 0.0)),
+      (2L, Seq(2.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (5L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Retrieval
+      .rrfHybridTopK(docs, emb, Seq("vector"), 0L, kEach = 3, k = 6)
+      .as[(Long, Double)].collect().toSeq
+    // expected ranks: sparse 1→1, 2→2, 3→3; dense 2→1, 4→2, 1→3
+    def s(r: Int) = 1.0 / (60 + r)
+    val expected = Seq(
+      2L -> (s(2) + s(1)), // in both lists — fused to the top
+      1L -> (s(1) + s(3)),
+      3L -> (s(3) + 0.0),
+      4L -> (0.0 + s(2))
+    ).sortBy { case (id, sc) => (-sc, id) }
+    assert(got === expected)
+    // the both-lists doc outranks every single-list doc
+    assert(got.head._1 === 2L)
   }
 }
