@@ -236,6 +236,17 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("q_retrieval_rrf: both legs end in TakeOrdered; dense probe is a 1-row broadcast") {
+    val plan = executed("q_retrieval_rrf")
+    // each leg's top-k must be a TakeOrdered, never a global sort of a
+    // corpus-sized frame; the fusion sorts only the fused ≤ 2k rows
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      plan.take(1500))
+    // the dense leg is allowed its 1-row-build-side broadcast nested
+    // loop (the exactTopK query-probe shape); a CartesianProduct is not
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("flagship standings: the only unpartitioned window is the bounded rank") {
     // team cardinality bounds the single-partition rank; anything else
     // funneling to one partition is a regression
