@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Same-box A/B for the r11 CC edge contraction: build the jaccard
+  * candidate graph at the given SF, then run [[graft.operators.Dedup
+  * .duplicateClusters]] twice — contraction ON (default threshold) vs
+  * OFF (threshold = Long.MaxValue) — and print both wall times plus an
+  * output-equality check (label sums + component counts). Usage:
+  * `tools/run.sh graft.tools.ProbeCC <sfDir>`. */
+object ProbeCC {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/repo/testdata-sf10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[probecc] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = graft.operators.Dedup.tokenSets(docs).localCheckpoint()
+    val pfx = graft.operators.Dedup.prefixTokens(toks, 0.9).localCheckpoint()
+    val a = pfx.select(col("doc_id").as("doc_a"), col("lang"),
+      col("tok"), col("n_toks").as("na"), col("ptoks").as("pa"))
+      .withColumn("size_bucket",
+        graft.operators.Dedup.sizeBucket(col("na"), 0.9))
+    val bkt = graft.operators.Dedup.sizeBucket(col("nb"), 0.9)
+    val b = pfx.select(col("doc_id").as("doc_b"), col("lang"),
+      col("tok"), col("n_toks").as("nb"), col("ptoks").as("pb"))
+      .withColumn("size_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
+    val firstCommon = graft.plans.SortedFirstCommon
+      .firstCommonCol(spark, col("pa"), col("pb"))
+    val cand = t("candidates")(
+      a.join(b, Seq("lang", "size_bucket", "tok"))
+        .where(col("doc_a") < col("doc_b") &&
+          col("na") >= col("nb") * 0.9 && col("nb") >= col("na") * 0.9 &&
+          firstCommon === col("tok"))
+        .select("doc_a", "doc_b").localCheckpoint())
+    println(s"[probecc] candidate pairs=${cand.count()}")
+    val endpoints = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      .localCheckpoint()
+
+    def summarize(tag: String, thr: Long): (Long, java.math.BigDecimal) = {
+      val cc = t(s"duplicateClusters($tag)")(
+        graft.operators.Dedup.duplicateClusters(cand, endpoints,
+          maxRounds = 50, pairsMaterialized = true,
+          contractAboveEdges = thr).localCheckpoint())
+      val n = cc.select(countDistinct("cluster_id")).first().getLong(0)
+      val s = cc.agg(sum(col("cluster_id")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .first().getDecimal(0)
+      (n, s)
+    }
+    val on = summarize("contraction-on", 10000000L)
+    val off = summarize("contraction-off", Long.MaxValue)
+    println(s"[probecc] components on=${on._1} off=${off._1} " +
+      s"labelSum equal=${on._2.compareTo(off._2) == 0}")
+    require(on == off, "contraction changed the output!")
+    spark.stop()
+  }
+}
