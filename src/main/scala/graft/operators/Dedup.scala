@@ -73,18 +73,26 @@ object Dedup {
     * prefix when t·n sits on an exact-integer boundary that floating
     * multiplication overshoots, so it cannot lose pairs.
     *
-    * Returns (doc_id, lang, n_toks, tok, ptoks) — one row per prefix
-    * token, each row also carrying `ptoks`, the doc's FULL prefix-token
-    * set sorted ascending. At any threshold the prefix is the short end
-    * of the document (`n − ⌈t·n⌉ + 1` tokens — ~3 at t = 0.9), so the
-    * array is a few extra longs per row; it exists so the candidate
-    * join can dedup pair occurrences IN-STAGE via
-    * [[graft.plans.SortedFirstCommon]] instead of shuffling them into a
-    * `distinct()` (see [[jaccardPairs]]). Both shuffles scale linearly:
-    * the df aggregate map-side combines on the token, the rank window
-    * partitions per document (the prefix-array collect reuses the same
-    * per-document partitioning — one exchange, two in-partition
-    * passes). */
+    * Returns (doc_id, lang, n_toks, tok, pos, ptoks) — one row per
+    * prefix token. `pos` is the token's 1-based rank in the doc's FULL
+    * (df asc, tok asc)-ordered token list — the ppjoin positional-
+    * filter input (Xiao et al. WWW'08): every common token of a pair
+    * sits at or after the first common token in each side's order, so
+    * |A∩B| ≤ |A| − pos_A + 1 at that token. `ptoks` is the doc's
+    * prefix flattened as (df, tok, pos) TRIPLES sorted by (df, tok) —
+    * the walk order of [[graft.plans.PrefixPositional]], which fuses
+    * the canonical-occurrence dedup (evaluate each pair only at its
+    * first common prefix entry, no `distinct()` shuffle — see
+    * [[jaccardPairs]]) with the positional lookup. At any threshold
+    * the prefix is the short end of the document (`n − ⌈t·n⌉ + 1`
+    * tokens — ~3 at t = 0.9), so the array is a few extra longs per
+    * row. `pos` is capped at 2^21 − 1 to fit the packed return value;
+    * capping DOWN only ever LOOSENS the positional bound (|A| − pos
+    * grows), so a >2M-token monster document degrades pruning, never
+    * correctness. Both shuffles scale linearly: the df aggregate
+    * map-side combines on the token, the rank window partitions per
+    * document (the prefix-array collect reuses the same per-document
+    * partitioning — one exchange, two in-partition passes). */
   private[graft] def prefixTokens(toks: DataFrame,
                                   threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -100,27 +108,92 @@ object Dedup {
       .withColumn("_rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("_df"), col("tok"))))
       .where(col("_rk") <= p)
-      .withColumn("ptoks", array_sort(collect_list(col("tok")).over(
-        Window.partitionBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
-      .select("doc_id", "lang", "n_toks", "tok", "ptoks")
+      .withColumn("pos", least(col("_rk").cast("long"), lit((1L << 21) - 1)))
+      .withColumn("ptoks", flatten(transform(
+        array_sort(collect_list(struct(col("_df"), col("tok"), col("pos"))).over(
+          Window.partitionBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))),
+        e => array(e("_df"), e("tok"), e("pos")))))
+      .select("doc_id", "lang", "n_toks", "tok", "pos", "ptoks")
+  }
+
+  /** Candidate pairs of the prefix-filtered Jaccard join: each
+    * qualifying pair exactly once, every bound applied MAP-SIDE inside
+    * the join stage, before the pair shuffle. Shared by [[jaccardPairs]]
+    * and the at-scale probe ([[graft.tools.ProbeJaccard]]) so the two
+    * can't drift.
+    *
+    * Three conjoined *necessary* conditions, each lossless:
+    *  - size compatibility: J ≥ t ⟹ min ≥ t·max (size filter + the
+    *    ±1 ln-scale bucket replication on side b);
+    *  - canonical occurrence: a pair sharing m prefix tokens meets m
+    *    times; [[graft.plans.PrefixPositional]] returns non-NULL only
+    *    where the join token is the FIRST common (df, tok) prefix
+    *    entry — exact dedup with no occurrence shuffle (a `distinct()`
+    *    here overflowed local scratch at the r11 sf100 probe), the
+    *    minhash FirstEqualIndex shape. Buckets and salts cannot
+    *    double-count: side a pins its own bucket and salt, so a pair
+    *    meets a given shared token at most once;
+    *  - ppjoin positional bound (the r11 finding: 946.6M candidates
+    *    for a 245.97M-pair sf100 answer = 3.8× over-generation): at
+    *    that first common token, |A∩B| ≤ min(|A| − posA + 1,
+    *    |B| − posB + 1), and J ≥ t needs |A∩B| ≥ ⌈t·(|A|+|B|)/(1+t)⌉,
+    *    so candidates whose shared token sits too deep in either
+    *    prefix die HERE instead of riding the pair shuffle into the
+    *    verify. The 1e-9 slack inside ceil can only round the required
+    *    overlap DOWN to its exact integer value, never up past it, so
+    *    no qualifying pair is lost (the prefix-length slack argument).
+    */
+  private[graft] def jaccardCandidates(pfx: DataFrame, threshold: Double,
+                                       salts: Int = 1): DataFrame = {
+    val a = pfx.select(col("doc_id").as("doc_a"), col("lang"),
+      col("tok"), col("n_toks").as("na"), col("ptoks").as("pa"))
+      .withColumn("size_bucket", sizeBucket(col("na"), threshold))
+      // scrambled id (murmur3), not raw id mod salts: strided id
+      // allocation must not skew the salt spread (semDedup precedent)
+      .withColumn("salt", pmod(hash(col("doc_a")), lit(salts)).cast("int"))
+    val bkt = sizeBucket(col("nb"), threshold)
+    val b = pfx.select(col("doc_id").as("doc_b"), col("lang"),
+      col("tok"), col("n_toks").as("nb"), col("ptoks").as("pb"))
+      .withColumn("size_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
+      .withColumn("salt", explode(lit((0 until salts).toArray)))
+    val pp = graft.plans.PrefixPositional
+      .posCol(pfx.sparkSession, col("pa"), col("pb"), col("tok"))
+    // required overlap for J ≥ t: o/(na+nb−o) ≥ t ⟺ o ≥ t(na+nb)/(1+t)
+    val alpha = ceil((col("na") + col("nb")) *
+      lit(threshold / (1.0 + threshold)) - lit(1e-9))
+    a.join(b, Seq("lang", "size_bucket", "tok", "salt"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("na") >= col("nb") * threshold &&
+        col("nb") >= col("na") * threshold)
+      .withColumn("_pp", pp)
+      .where(col("_pp").isNotNull &&
+        least(col("na") - shiftright(col("_pp"), 21),
+          col("nb") - col("_pp").bitwiseAND(lit((1L << 21) - 1))) +
+          lit(1) >= alpha)
+      .select("doc_a", "doc_b")
   }
 
   /** Word-set Jaccard similarity pairs with J ≥ threshold. Returns
     * (doc_a, doc_b, jaccard), doc_a < doc_b.
     *
     * Candidate key = (lang, ln-scale size bucket, shared prefix token) —
-    * the conjunction of two *necessary* conditions, each lossless:
+    * the conjunction of *necessary* conditions, each lossless
+    * (see [[jaccardCandidates]] for the full derivation):
     *  - size compatibility: J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|),
     *    so with bucket width ln(1/t) a qualifying pair's buckets differ
     *    by ≤ 1 — side a pins its own bucket, side b replicates to
     *    {b−1, b, b+1} (the [[TemporalJoins.withinRange]] pattern);
     *  - prefix filter: the pair must share one of each side's rarest
-    *    `n − ⌈t·n⌉ + 1` tokens ([[prefixTokens]]).
-    * A pair sharing m prefix tokens matches m times, so candidates pass
-    * through a pair-key `distinct` BEFORE the verify join attaches the
-    * token arrays (the [[minhashLshPairs]] payload discipline): the
-    * two-pointer intersect runs once per candidate pair.
+    *    `n − ⌈t·n⌉ + 1` tokens ([[prefixTokens]]);
+    *  - ppjoin positional bound: at the pair's FIRST common prefix
+    *    token, the achievable overlap min(|A| − posA + 1, |B| − posB + 1)
+    *    must reach ⌈t·(|A|+|B|)/(1+t)⌉ (r12; cut sf100 candidates
+    *    before the pair shuffle).
+    * A pair sharing m prefix tokens matches m times; the fused
+    * [[graft.plans.PrefixPositional]] keeps only the first-common-token
+    * occurrence IN the join stage (no pair-key `distinct` shuffle), so
+    * the two-pointer intersect runs once per candidate pair.
     *
     * Scale: the r9 sf10 (100×) run exposed the previous
     * (lang, size_bucket)-only key as quadratic — bucket COUNT is fixed
@@ -149,36 +222,7 @@ object Dedup {
     // checkpoint once so the self-join's two sides don't each re-run
     // the df aggregate + rank window
     val pfx = prefixTokens(toks, threshold).localCheckpoint()
-    val a = pfx.select(col("doc_id").as("doc_a"), col("lang"),
-      col("tok"), col("n_toks").as("na"), col("ptoks").as("pa"))
-      .withColumn("size_bucket", sizeBucket(col("na"), threshold))
-      // scrambled id (murmur3), not raw id mod salts: strided id
-      // allocation must not skew the salt spread (semDedup precedent)
-      .withColumn("salt", pmod(hash(col("doc_a")), lit(salts)).cast("int"))
-    val bkt = sizeBucket(col("nb"), threshold)
-    val b = pfx.select(col("doc_id").as("doc_b"), col("lang"),
-      col("tok"), col("n_toks").as("nb"), col("ptoks").as("pb"))
-      .withColumn("size_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
-      .withColumn("salt", explode(lit((0 until salts).toArray)))
-    // Canonical-occurrence dedup IN the join stage (the minhash
-    // FirstEqualIndex shape): a pair sharing m prefix tokens meets m
-    // times, and a `distinct()` would shuffle every occurrence — the
-    // r11 sf100 probe measured that occurrence stream alone overflowing
-    // local scratch before any verify ran. Keeping a pair only where
-    // the join token is the SMALLEST shared prefix token (both sides'
-    // ~3-token sorted prefix arrays ride the join rows; one codegen'd
-    // two-pointer walk per candidate) evaluates each pair exactly once
-    // with no dedup exchange at all. Buckets and salts cannot
-    // double-count: side a pins its own bucket and salt, so a pair
-    // meets a given shared token at most once.
-    val firstCommon = graft.plans.SortedFirstCommon
-      .firstCommonCol(docs.sparkSession, col("pa"), col("pb"))
-    val cand = a.join(b, Seq("lang", "size_bucket", "tok", "salt"))
-      .where(col("doc_a") < col("doc_b") &&
-        col("na") >= col("nb") * threshold &&
-        col("nb") >= col("na") * threshold &&
-        firstCommon === col("tok"))
-      .select("doc_a", "doc_b")
+    val cand = jaccardCandidates(pfx, threshold, salts)
     // Two verify shapes, same output. DIRECT attaches the token arrays
     // with two plain joins — but the second one re-shuffles every
     // candidate pair WITH doc_a's array attached (~|set|·8 B per PAIR:
@@ -399,9 +443,20 @@ object Dedup {
     while (!converged) {
       round += 1
       require(round <= maxRounds, s"CC did not converge in $maxRounds rounds")
-      val fromNeighbors = edges
-        .join(maybeBroadcast(labels.withColumnRenamed("doc_id", "src")), "src")
-        .select(col("dst").as("doc_id"), col("label"))
+      // Round 1 is join-free (r12, the hash-to-min initialization): the
+      // labels are still the identity (label(src) == src for every
+      // node), so the broadcast-join lookup below would be an identity
+      // map evaluated once per edge — on the 1.9B-row sf100 edge list
+      // that probe-per-row plus the broadcast build was pure overhead.
+      // Emitting the edge directly computes the same round-1
+      // propagation min(self, neighbors); rounds 2+ need the real
+      // label lookup.
+      val fromNeighbors =
+        if (round == 1)
+          edges.select(col("dst").as("doc_id"), col("src").as("label"))
+        else edges
+          .join(maybeBroadcast(labels.withColumnRenamed("doc_id", "src")), "src")
+          .select(col("dst").as("doc_id"), col("label"))
       val propagated = labels.unionByName(fromNeighbors)
         .groupBy("doc_id").agg(min("label").as("label"))
       // pointer jumping: label := label(label). Every label IS a node id

@@ -32,22 +32,9 @@ object ProbeCC {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val toks = graft.operators.Dedup.tokenSets(docs).localCheckpoint()
     val pfx = graft.operators.Dedup.prefixTokens(toks, 0.9).localCheckpoint()
-    val a = pfx.select(col("doc_id").as("doc_a"), col("lang"),
-      col("tok"), col("n_toks").as("na"), col("ptoks").as("pa"))
-      .withColumn("size_bucket",
-        graft.operators.Dedup.sizeBucket(col("na"), 0.9))
-    val bkt = graft.operators.Dedup.sizeBucket(col("nb"), 0.9)
-    val b = pfx.select(col("doc_id").as("doc_b"), col("lang"),
-      col("tok"), col("n_toks").as("nb"), col("ptoks").as("pb"))
-      .withColumn("size_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
-    val firstCommon = graft.plans.SortedFirstCommon
-      .firstCommonCol(spark, col("pa"), col("pb"))
+    // the exact operator path (shared with jaccardPairs — no drift)
     val cand = t("candidates")(
-      a.join(b, Seq("lang", "size_bucket", "tok"))
-        .where(col("doc_a") < col("doc_b") &&
-          col("na") >= col("nb") * 0.9 && col("nb") >= col("na") * 0.9 &&
-          firstCommon === col("tok"))
-        .select("doc_a", "doc_b").localCheckpoint())
+      graft.operators.Dedup.jaccardCandidates(pfx, 0.9).localCheckpoint())
     println(s"[probecc] candidate pairs=${cand.count()}")
     val endpoints = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
@@ -68,7 +55,10 @@ object ProbeCC {
     val off = summarize("contraction-off", Long.MaxValue)
     println(s"[probecc] components on=${on._1} off=${off._1} " +
       s"labelSum equal=${on._2.compareTo(off._2) == 0}")
-    require(on == off, "contraction changed the output!")
+    // compareTo, not tuple equality: BigDecimal.equals is scale-
+    // sensitive (compareTo == 0 but equals false for differing scales)
+    require(on._1 == off._1 && on._2.compareTo(off._2) == 0,
+      "contraction changed the output!")
     spark.stop()
   }
 }

@@ -39,23 +39,10 @@ object ProbeJaccard {
       graft.operators.Dedup.prefixTokens(toks, threshold).localCheckpoint())
     println(s"[probe] prefix rows=${pfx.count()}")
 
-    val a = pfx.select(col("doc_id").as("doc_a"), col("lang"),
-      col("tok"), col("n_toks").as("na"), col("ptoks").as("pa"))
-      .withColumn("size_bucket",
-        graft.operators.Dedup.sizeBucket(col("na"), threshold))
-    val bkt = graft.operators.Dedup.sizeBucket(col("nb"), threshold)
-    val b = pfx.select(col("doc_id").as("doc_b"), col("lang"),
-      col("tok"), col("n_toks").as("nb"), col("ptoks").as("pb"))
-      .withColumn("size_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
-    val firstCommon = graft.plans.SortedFirstCommon
-      .firstCommonCol(spark, col("pa"), col("pb"))
+    // the exact operator path (shared with jaccardPairs — no drift)
     val cand = t("candidates")(
-      a.join(b, Seq("lang", "size_bucket", "tok"))
-        .where(col("doc_a") < col("doc_b") &&
-          col("na") >= col("nb") * threshold &&
-          col("nb") >= col("na") * threshold &&
-          firstCommon === col("tok"))
-        .select("doc_a", "doc_b").localCheckpoint())
+      graft.operators.Dedup.jaccardCandidates(pfx, threshold)
+        .localCheckpoint())
     println(s"[probe] candidate pairs=${cand.count()}")
     System.gc()
 

@@ -76,29 +76,62 @@ class ArrayExprSpec extends SparkSpec {
     assert(r.getInt(1) === 2)
   }
 
-  test("sorted_first_common == min(array_intersect); null on disjoint/empty/null") {
+  test("prefix_pos == first-common-(df,tok) model with packed positions; null dedup semantics") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
-    val rows = Seq.fill(300) {
-      val a = Seq.fill(rnd.nextInt(8))(rnd.nextInt(40).toLong).distinct.sorted
-      val b = Seq.fill(rnd.nextInt(8))(rnd.nextInt(40).toLong).distinct.sorted
-      (a, b)
-    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(6L)))
-    val df = rows.toDF("a", "b")
-    val got = df.withColumn("fc",
-        graft.plans.SortedFirstCommon.firstCommonCol(spark, col("a"), col("b")))
-      .select("a", "b", "fc")
-      .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1),
-        if (r.isNullAt(2)) None else Some(r.getLong(2))))
-    got.foreach { case (a, b, fc) =>
-      val want = a.toSet.intersect(b.toSet).minOption
-      assert(fc == want, s"a=$a b=$b")
+    // token universe with a fixed df per token (df is a token attribute,
+    // so both sides of a pair always carry the same df for a shared tok)
+    val universe = (0 until 40).map { t =>
+      (t.toLong - 20L, rnd.nextInt(6).toLong + 1L) // (tok incl. negatives, df)
+    }.toMap
+    def side(): Seq[(Long, Long, Long)] = // (df, tok, pos) sorted by (df, tok)
+      rnd.shuffle(universe.keys.toSeq).take(rnd.nextInt(8))
+        .map(t => (universe(t), t, rnd.nextInt(1000).toLong + 1L))
+        .sortBy(e => (e._1, e._2))
+    val cases = Seq.fill(400) {
+      val a = side(); val b = side()
+      // query token: sometimes a's first entry, sometimes random
+      val qt = if (rnd.nextBoolean() && a.nonEmpty) a.head._2
+        else universe.keys.toSeq(rnd.nextInt(universe.size))
+      (a.flatMap(e => Seq(e._1, e._2, e._3)),
+        b.flatMap(e => Seq(e._1, e._2, e._3)), qt, a, b)
+    }
+    val df = cases.map(c => (c._1, c._2, c._3)).toDF("a", "b", "t")
+    val got = df.withColumn("pp",
+        graft.plans.PrefixPositional.posCol(spark, col("a"), col("b"), col("t")))
+      .select("pp").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    cases.zip(got).foreach { case ((_, _, qt, a, b), pp) =>
+      // model: walk the (df, tok) order; first entry present in both
+      val common = a.filter(e => b.exists(x => x._2 == e._2))
+      val want = common.headOption.flatMap { fa =>
+        if (fa._2 == qt) {
+          val fb = b.find(_._2 == fa._2).get
+          Some((fa._3 << 21) | fb._3)
+        } else None // join token is not the canonical occurrence
+      }
+      assert(pp == want, s"a=$a b=$b qt=$qt")
     }
     // null array → null
-    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
-      .withColumn("fc",
-        graft.plans.SortedFirstCommon.firstCommonCol(spark, col("a"), col("b")))
-    assert(n.select("fc").collect().head.isNullAt(0))
+    val n = Seq((Some(Seq(1L, 2L, 3L)), Option.empty[Seq[Long]], 2L))
+      .toDF("a", "b", "t")
+      .withColumn("pp",
+        graft.plans.PrefixPositional.posCol(spark, col("a"), col("b"), col("t")))
+    assert(n.select("pp").collect().head.isNullAt(0))
+  }
+
+  test("prefix_pos stays inside whole-stage codegen") {
+    // parquet-backed input: a literal frame constant-folds to a
+    // LocalTableScan with no codegen stage to inspect
+    val pfx = graft.operators.Dedup.prefixTokens(
+      graft.operators.Dedup.tokenSets(
+        spark.read.parquet(s"$sf/documents.parquet")), 0.9)
+    val q = pfx.select(graft.plans.PrefixPositional
+        .posCol(spark, col("ptoks"), col("ptoks"), col("tok")).as("pp"))
+    q.collect() // finalize the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_prefix_pos""".r
+      .findFirstIn(plan).isDefined, plan.take(600))
   }
 
   test("both expressions stay inside whole-stage codegen") {

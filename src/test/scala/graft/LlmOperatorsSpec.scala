@@ -71,6 +71,36 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(pfxRows >= nDocs, s"prefix stream $pfxRows rows < $nDocs docs")
   }
 
+  test("jaccard positional bound prunes a size-compatible shared-prefix pair") {
+    // Hand-built ppjoin kill case (t = 0.8): two 10-token docs sharing
+    // 8 tokens — J = 8/12 ≈ 0.67 < t, so not in the answer — that the
+    // size filter (10 vs 10) and the prefix filter (they DO share a
+    // prefix token) both pass. B's two unique tokens are globally rare
+    // (df = 1), so they fill B's prefix and push the shared token to
+    // prefix position 3: achievable overlap ≤ min(10−posA+1, 10−posB+1)
+    // = 8 < ⌈0.8·20/1.8⌉ = 9 ⇒ the positional bound alone prunes the
+    // candidate before the pair shuffle.
+    val t = 0.8
+    val shared = (1 to 8).map(i => s"s$i")
+    val a = (shared ++ Seq("a9", "a10")).mkString(" ")
+    val b = (shared ++ Seq("x9", "x10")).mkString(" ")
+    // padding docs keep the shared tokens' df ABOVE the unique tokens'
+    // (each padding doc repeats the shared tokens under a distinct lang
+    // so it can't join with the pair under test)
+    val pad = (0 until 3).map(i => (10L + i, shared.mkString(" "), s"pad$i"))
+    val docs = (Seq((1L, a, "en"), (2L, b, "en")) ++ pad)
+      .toDF("doc_id", "text", "lang")
+    val pfx = Dedup.prefixTokens(Dedup.tokenSets(docs), t)
+    // preconditions: the pair shares a prefix token and is size-compatible
+    val pfxByDoc = pfx.select("doc_id", "tok").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pfxByDoc(1L).intersect(pfxByDoc(2L)).nonEmpty,
+      "setup broken: pair must share a prefix token for the test to bite")
+    assert(Dedup.jaccardCandidates(pfx, t)
+      .where(col("doc_a") === 1L && col("doc_b") === 2L).count() === 0,
+      "positional bound failed to prune the candidate")
+  }
+
   test("jaccard prefix filter is lossless vs a brute-force same-lang join") {
     // exact answer via an unblocked O(n²) join on the tiny spec corpus
     val t = 0.5
