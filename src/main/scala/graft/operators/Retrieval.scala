@@ -16,15 +16,28 @@ object Retrieval {
     * `1/(kRrf + rank_r(d))`, fused over
     *  - the BM25 top-`kEach` for `queryTerms`
     *    ([[graft.functions.TextAnalysis.bm25RawIdfTopK]]), and
-    *  - the exact-cosine top-`kEach` against the `queryVecId` embedding
+    *  - the dense top-`kEach` against the `queryVecId` embedding
     *    (corpus = every other vector; `doc_id` ≡ `vec_id` by the data
-    *    contract).
+    *    contract), with the candidate source picked by `denseLeg`:
+    *      - `"exact"`: score EVERY other vector (exact cosine) — one
+    *        full corpus scan per query;
+    *      - `"lsh"`: score only vectors sharing a hyperplane-LSH bucket
+    *        with the query ([[Similarity.annTopK]]'s candidate rule,
+    *        same fixed-seed [[Similarity.hyperplanes]] +
+    *        [[graft.plans.LshBuckets]] machinery) — the at-scale path:
+    *        candidate count tracks bucket density, not corpus size,
+    *        trading recall (approximate in WHICH ids are scored, never
+    *        in any number produced — output stays deterministic and
+    *        DuckDB-replayable).
     *
-    * Scale shape: each leg is corpus-linear ending in a TakeOrdered
-    * (`kEach` rows); the fusion itself is a full-outer join of two
-    * ≤ kEach-row frames — metadata-scale regardless of corpus size. On
-    * a 100 TB corpus the dense leg would swap in [[Similarity.annTopK]]
-    * / [[Similarity.ivfTopK]] candidates; the fusion join is unchanged.
+    * Scale shape: each leg ends in a TakeOrdered (`kEach` rows); the
+    * fusion itself is a full-outer join of two ≤ kEach-row frames —
+    * metadata-scale regardless of corpus size. The query vector is
+    * fetched driver-side (one pushed-filter point lookup) and rides the
+    * dense leg as a LITERAL, so the leg is scan → score → TakeOrdered
+    * with no join at all; `require`s exactly one match, so a bad
+    * `queryVecId` fails loudly instead of silently degrading to a
+    * sparse-only ranking (r11 advice).
     *
     * Engine parity: ranks are exact integers from identically-ordered
     * (score DESC, id ASC) windows; `1.0/(kRrf + rank)` and the fixed
@@ -36,9 +49,13 @@ object Retrieval {
     */
   def rrfHybridTopK(docs: DataFrame, emb: DataFrame,
                     queryTerms: Seq[String], queryVecId: Long,
-                    kEach: Int, k: Int, kRrf: Int = 60): DataFrame = {
+                    kEach: Int, k: Int, kRrf: Int = 60,
+                    denseLeg: String = "exact",
+                    tables: Int = 8, bits: Int = 8): DataFrame = {
     require(kEach >= 1 && k >= 1 && kRrf >= 1,
       s"kEach/k/kRrf must be >= 1, got $kEach/$k/$kRrf")
+    require(denseLeg == "exact" || denseLeg == "lsh",
+      s"denseLeg must be 'exact' or 'lsh', got '$denseLeg'")
     val spark = docs.sparkSession
     val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
 
@@ -50,17 +67,43 @@ object Retrieval {
         Window.orderBy(desc("bm25_rsj_x8"), asc("doc_id"))))
       .select(col("doc_id"), col("r_sparse"))
 
-    // dense leg: exact cosine vs the single query vector (broadcast), a
-    // TakeOrdered top-kEach — never a full sort
     val v = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
-    val q = v.where(col("vec_id") === queryVecId)
-      .select(col("vec").as("qvec"))
-    val dense = v.where(col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(q))
-      .withColumn("cos", ndot(col("qvec"), col("vec")) /
-        (sqrt(ndot(col("qvec"), col("qvec"))) *
-          sqrt(ndot(col("vec"), col("vec")))))
+    // the query embedding: a pushed-filter point lookup, required to
+    // resolve to exactly one row (a silent empty build side previously
+    // returned a plausible-looking sparse-only ranking)
+    val qRows = v.where(col("vec_id") === queryVecId).limit(2).collect()
+    require(qRows.length == 1 && !qRows(0).isNullAt(1),
+      s"queryVecId=$queryVecId must match exactly one non-null embedding, " +
+        s"found ${qRows.length}")
+    val qvec = typedLit(qRows(0).getSeq[Double](1))
+
+    // dense-leg candidates: the whole corpus (exact) or the LSH bucket
+    // cohort (the 100 TB path — per-query work tracks bucket density)
+    val candidates = denseLeg match {
+      case "exact" => v.where(col("vec_id") =!= queryVecId)
+      case "lsh" =>
+        val dim = qRows(0).getSeq[Double](1).length
+        val planes = Similarity.hyperplanes(tables, bits, dim)
+        val planesLit = typedLit(planes.map(_.map(_.toSeq).toSeq).toSeq)
+        def buckets(vec: Column): Column =
+          graft.plans.LshBuckets.bucketsCol(spark, planesLit, vec)
+        // ≤ `tables` query buckets — broadcast; candidate ids dedup on
+        // the bare id (a vector can share several buckets), vectors
+        // re-attach afterwards (the annTopK payload discipline)
+        val qb = v.where(col("vec_id") === queryVecId)
+          .select(explode(buckets(col("vec"))).as("bucket"))
+        val candIds = v.where(col("vec_id") =!= queryVecId &&
+            col("vec").isNotNull)
+          .select(col("vec_id"), explode(buckets(col("vec"))).as("bucket"))
+          .join(broadcast(qb), "bucket")
+          .select("vec_id").distinct()
+        candIds.join(v, "vec_id")
+    }
+
+    val dense = candidates
+      .withColumn("cos", ndot(qvec, col("vec")) /
+        (sqrt(ndot(qvec, qvec)) * sqrt(ndot(col("vec"), col("vec")))))
       .orderBy(desc("cos"), asc("vec_id")).limit(kEach)
       .withColumn("r_dense", row_number().over(
         Window.orderBy(desc("cos"), asc("vec_id"))))

@@ -413,11 +413,13 @@ object Similarity {
     * (vec_id, list_id), bit-identical to [[hierArgminCol]]
     * (HierQuantizerSpec pins equality): same two-level argmin, same
     * ordered-fold d2, same
-    * (d2, id) tie-break via the struct ordering of min_by. One
-    * null-semantics divergence, deliberate: a vector with a null
-    * element DROPS here (null super_id never matches the inner join)
-    * where the literal path emits a null list_id — the same
-    * filter-nulls-in-the-plan contract annTopK adopted in r10.
+    * (d2, id) tie-break via the struct ordering of min_by. Null
+    * semantics: a vector with a null element DROPS (null super_id
+    * never matches the inner join) — and [[assignLists]]'s literal
+    * branch filters its null list_id rows to the SAME behavior, so the
+    * two routes agree on any input (r12, pinned in HierQuantizerSpec;
+    * previously the literal path kept a null-list_id row and output
+    * diverged by corpus size for null-bearing data).
     *
     * `v` must carry (vec_id, vec). Applicability: superQuantizer's
     * driver-side Lloyd is comfortable to k ~ 10⁴ children (≥ 10⁹-vector
@@ -465,14 +467,26 @@ object Similarity {
     * the [[hierAssignByTable]] broadcast-table shape + an n-sized
     * attach join, whose reference objects stay √k-sized at any k. `v`
     * must be exactly (vec_id, vec, vv) — both branches return those
-    * columns plus list_id. */
+    * columns plus list_id. Null contract, route-independent (r12,
+    * pinned in HierQuantizerSpec): a null vector or null element gets
+    * no assignment and the row DROPS — enforced HERE by the vv filter
+    * (vv is the pre-computed self-dot, null exactly when the vector
+    * is null or carries a null element, so the guard costs no extra
+    * pass). Without it the routes diverged on null-bearing data
+    * depending on corpus size: the literal path emitted a null
+    * list_id while the table path's min_by over a null d2 ASSIGNED
+    * the row to an arbitrary list (struct ordering places nulls
+    * first). */
   private[graft] def assignLists(v: DataFrame,
       cents: Seq[(Int, Array[Double], Double)], iters: Int,
-      literalCap: Int = 4096): DataFrame =
+      literalCap: Int = 4096): DataFrame = {
+    val clean = v.where(col("vv").isNotNull)
     if (cents.size <= literalCap)
-      v.withColumn("list_id", hierArgminCol(v, cents, iters))
+      clean.withColumn("list_id", hierArgminCol(clean, cents, iters))
+        .where(col("list_id").isNotNull)
     else // n-sized attach join: both sides shuffle once on vec_id
-      v.join(hierAssignByTable(v, cents, iters), "vec_id")
+      clean.join(hierAssignByTable(clean, cents, iters), "vec_id")
+  }
 
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               nLists: Int = -1, nProbe: Int = 4, iters: Int = 2,

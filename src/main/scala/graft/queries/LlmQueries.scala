@@ -1760,6 +1760,89 @@ object LlmQueries {
              |FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
              |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin)),
 
+    // The at-scale RRF variant: the dense leg scores only the LSH
+    // bucket cohort of the query vector (annTopK's candidate rule)
+    // instead of the whole corpus — approximate in WHICH ids get
+    // scored, deterministic in every number produced, so the oracle
+    // replays the full chain: the hyperplane LCG (the q_embed_ann_lsh
+    // machinery), bucket candidates for vec_id = 0, exact cosine over
+    // the cohort, and the same BM25 + 1/(60+rank) fusion.
+    Q("q_retrieval_rrf_ann",
+      (s, dir) => Retrieval.rrfHybridTopK(documents(s, dir),
+        embeddings(s, dir), Seq("vector", "merge", "stream"),
+        queryVecId = 0L, kEach = 25, k = 15, denseLeg = "lsh"),
+      Some("""WITH RECURSIVE lcg(k, s) AS (
+             |  SELECT 0, (((((CAST(25214903917 AS HUGEINT) % 4294967296) * 1481765933 + (25214903917 >> 32) * 1284865837) % 4294967296) * 4294967296 + (25214903917 % 4294967296) * 1284865837) % 18446744073709551616 + 1442695040888963407) % 18446744073709551616
+             |  UNION ALL
+             |  SELECT k + 1, (((((s % 4294967296) * 1481765933 + (s >> 32) * 1284865837) % 4294967296) * 4294967296 + (s % 4294967296) * 1284865837) % 18446744073709551616 + 1442695040888963407) % 18446744073709551616 FROM lcg WHERE k < 4095),
+             |pvals AS (
+             |  SELECT CAST(k // 512 AS INT) AS t, CAST((k // 64) % 8 AS INT) AS b,
+             |    CAST(k % 64 AS INT) AS i,
+             |    CAST(s >> 11 AS DOUBLE) / 9007199254740992.0 - 0.5 AS p
+             |  FROM lcg),
+             |planes AS (
+             |  SELECT t, b, list(p ORDER BY i) AS pl FROM pvals GROUP BY t, b),
+             |v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+             |vn AS (
+             |  SELECT vec_id, vec,
+             |    sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+             |dots AS (
+             |  SELECT vec_id, t, b,
+             |    list_reduce(list_prepend(0.0,
+             |      list_transform(list_zip(pl, vec), z -> z[1] * z[2])),
+             |      (a, x) -> a + x) AS s
+             |  FROM vn, planes),
+             |buckets AS (
+             |  SELECT vec_id, t,
+             |    CAST(t AS BIGINT) * 4294967296 +
+             |      SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+             |  FROM dots GROUP BY vec_id, t),
+             |cand AS (
+             |  SELECT DISTINCT c.vec_id
+             |  FROM buckets c JOIN buckets q ON c.bucket = q.bucket
+             |  WHERE q.vec_id = 0 AND c.vec_id <> 0),
+             |cs AS (
+             |  SELECT ca.vec_id,
+             |    list_dot_product(qa.vec, ca.vec) / (qa.nrm * ca.nrm) AS cos
+             |  FROM cand
+             |  JOIN vn ca ON ca.vec_id = cand.vec_id
+             |  CROSS JOIN (SELECT vec, nrm FROM vn WHERE vec_id = 0) qa),
+             |dn0 AS (SELECT vec_id, cos FROM cs
+             |  ORDER BY cos DESC, vec_id LIMIT 25),
+             |dn AS (SELECT vec_id AS doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_dense
+             |  FROM dn0),
+             |w AS (SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+             |  FROM documents),
+             |len AS (SELECT doc_id, COUNT(*) AS len FROM w GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n_docs,
+             |    CAST(SUM(len) AS DOUBLE) AS total_len FROM len),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+             |  WHERE word IN ('vector', 'merge', 'stream') GROUP BY 1, 2),
+             |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+             |ts AS (SELECT tf.doc_id,
+             |    CAST(floor(100000000.0 *
+             |      ((tot.n_docs - df.df + 0.5) / (df.df + 0.5) *
+             |       (tf.tf * 2.2) /
+             |       (tf.tf + 1.2 * (0.25 +
+             |         0.75 * len.len * tot.n_docs / tot.total_len))) + 0.5)
+             |      AS BIGINT) AS s8
+             |  FROM tf JOIN len USING (doc_id) JOIN df USING (word)
+             |    CROSS JOIN tot),
+             |bm AS (SELECT doc_id, CAST(SUM(s8) AS BIGINT) AS s FROM ts
+             |  GROUP BY 1 ORDER BY s DESC, doc_id LIMIT 25),
+             |sp AS (SELECT doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r_sparse
+             |  FROM bm)
+             |SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+             |  COALESCE(CAST(1 AS DOUBLE) / (60 + r_sparse), CAST(0 AS DOUBLE))
+             |    + COALESCE(CAST(1 AS DOUBLE) / (60 + r_dense), CAST(0 AS DOUBLE))
+             |    AS rrf
+             |FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
+             |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin)),
+
     // Temperature-scaled mixture (T = 2): stratum share ∝ √n_lang,
     // integerized weights (floor(1000·√n) — sqrt is IEEE correctly
     // rounded, unlike pow) and an exact HUGEINT/DECIMAL(38,0)

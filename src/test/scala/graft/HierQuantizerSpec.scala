@@ -135,18 +135,29 @@ class HierQuantizerSpec extends SparkSpec {
         (if (d == i % dim) 4.0 else 0.0) + ((i * 31 + d * 7) % 97) / 97.0)
       (i, c, { var s = 0.0; c.foreach(x => s += x * x); s })
     }
-    val df = (0 until 300).map { i =>
-      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 8 - 4).toSeq)
-    }.toDF("vec_id", "vec")
+    // one null-element vector: the null contract must be ROUTE-
+    // independent (r12 — previously the literal path kept a null
+    // list_id row where the table path's inner join dropped it, so
+    // output diverged by corpus size for the same data)
+    val clean = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 8 - 4)
+        .map(java.lang.Double.valueOf).toSeq)
+    }
+    val dirty = clean :+ ((300L,
+      (java.lang.Double.valueOf(1.0) +: Array.fill(dim - 1)(
+        null.asInstanceOf[java.lang.Double])).toSeq))
+    val df = dirty.toDF("vec_id", "vec")
       .withColumn("vv", graft.plans.DotProduct.dotCol(spark, col("vec"), col("vec")))
     val routed = Similarity.assignLists(df, bigCents, 2, literalCap = 1024)
     assert(routed.columns.toSeq === Seq("vec_id", "vec", "vv", "list_id"))
     val got = routed.select("vec_id", "list_id")
       .as[(Long, Int)].collect().toMap
-    val lit = df.withColumn("list_id", Similarity.hierArgminCol(df, bigCents, 2))
-      .select("vec_id", "list_id").as[(Long, Int)].collect().toMap
-    assert(got.size == 300)
-    assert(got == lit)
+    val viaLiteral = Similarity.assignLists(df, bigCents, 2,
+        literalCap = Int.MaxValue).select("vec_id", "list_id")
+      .as[(Long, Int)].collect().toMap
+    assert(got.size == 300 && viaLiteral.size == 300) // null vector dropped on BOTH routes
+    assert(!got.contains(300L) && !viaLiteral.contains(300L))
+    assert(got == viaLiteral)
   }
 
   test("superQuantizer is deterministic and empty supers drop") {

@@ -236,15 +236,16 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
-  test("q_retrieval_rrf: both legs end in TakeOrdered; dense probe is a 1-row broadcast") {
+  test("q_retrieval_rrf: both legs end in TakeOrdered; dense leg is join-free") {
     val plan = executed("q_retrieval_rrf")
     // each leg's top-k must be a TakeOrdered, never a global sort of a
     // corpus-sized frame; the fusion sorts only the fused ≤ 2k rows
     assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
       plan.take(1500))
-    // the dense leg is allowed its 1-row-build-side broadcast nested
-    // loop (the exactTopK query-probe shape); a CartesianProduct is not
-    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the query vector rides the dense leg as a LITERAL (r12): scan →
+    // score → TakeOrdered, no join of any kind on the corpus side
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
   test("flagship standings: the only unpartitioned window is the bounded rank") {

@@ -107,4 +107,44 @@ class RetrievalMixtureSpec extends SparkSpec {
     // the both-lists doc outranks every single-list doc
     assert(got.head._1 === 2L)
   }
+
+  test("rrf hybrid: missing or ambiguous queryVecId fails loudly") {
+    val docs = Seq((1L, "vector pad")).toDF("doc_id", "text")
+    val emb = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    // absent id: previously degraded silently to a sparse-only ranking
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfHybridTopK(docs, emb, Seq("vector"), 999L, 3, 3)
+    }
+    assert(e.getMessage.contains("queryVecId=999"))
+    // duplicated id: the 1-row contract is broken upstream — also loud
+    val dup = Seq((1L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfHybridTopK(docs, dup, Seq("vector"), 1L, 3, 3)
+    }
+  }
+
+  test("rrf hybrid LSH leg: recalls most of the exact dense fusion on real embeddings") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val terms = Seq("vector", "merge", "stream")
+    val exact = Retrieval
+      .rrfHybridTopK(docs, emb, terms, 0L, kEach = 25, k = 15)
+      .select("doc_id").as[Long].collect().toSet
+    // 16 tables × 5 bits: on this 500-vector corpus the default 8×8
+    // grid yields ~2-vector buckets (≈16 candidates — fine for the
+    // top-5 annTopK contract, far too shallow for a depth-25 leg);
+    // recall at depth kEach needs the cohort ≫ kEach, which is a
+    // PARAMETER choice, not an operator property — hence exposed
+    val ann = Retrieval
+      .rrfHybridTopK(docs, emb, terms, 0L, kEach = 25, k = 15,
+        denseLeg = "lsh", tables = 16, bits = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ann.size === 15)
+    // the sparse leg is shared and the LSH cohort recalls most exact
+    // top neighbors (the annTopK recall contract), so the fused lists
+    // overlap heavily
+    val overlap = exact.intersect(ann).size
+    assert(overlap >= 11, s"only $overlap/15 fused ids shared: $exact vs $ann")
+  }
 }
