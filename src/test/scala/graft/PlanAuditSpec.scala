@@ -242,10 +242,12 @@ class PlanAuditSpec extends SparkSpec {
     // corpus-sized frame; the fusion sorts only the fused ≤ 2k rows
     assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
       plan.take(1500))
-    // the query vector rides the dense leg as a LITERAL (r12): scan →
-    // score → TakeOrdered, no join of any kind on the corpus side
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the query vector rides the dense leg as a LITERAL (r12), so the
+    // only nested-loop join left is the bm25 leg's 1-row corpus-stats
+    // broadcast; a CartesianProduct anywhere is a regression
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      plan.take(1500))
   }
 
   test("flagship standings: the only unpartitioned window is the bounded rank") {
