@@ -2,6 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // reclaim dead blockmgr/spark-local dirs from crashed earlier runs
+    // BEFORE allocating our own scratch (r11-late box note: 35 GB of
+    // stale blockmgr starved the next run's page cache)
+    graft.tools.Scratch.sweepStale()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -130,8 +134,17 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skippedJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // record the MEASUREMENT CONFIG in the artifact: the r11 sf100
+    // sweep ran at 32 shuffle partitions (~19M rows/partition through
+    // the sort-merge joins) and nothing in the JSON said so — the
+    // in-bench numbers looked like plan regressions instead of a
+    // measurement setting
+    val shufp = spark.conf.get("spark.sql.shuffle.partitions")
+    val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    val config =
+      s"""{"shuffle_partitions":$shufp,"cpus":$cpus,"heap_gb":$heapGb,"single":$single}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"config":$config,"sf":"$sfDir"}"""
     val totalOnly =
       s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson}"""
     // The harness keeps only the TAIL of this process's output and the

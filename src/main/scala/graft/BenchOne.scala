@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    graft.tools.Scratch.sweepStale() // drop crashed runs' dead scratch first
     // identical session config to Bench, so a BenchOne timing/row-count
     // reproduces Bench instead of measuring a config delta
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * `tools/run.sh graft.tools.ProbeCC <sfDir>`. */
 object ProbeCC {
   def main(args: Array[String]): Unit = {
+    graft.tools.Scratch.sweepStale() // drop crashed runs' dead scratch first
     val sfDir = if (args.length > 0) args(0) else "/root/repo/testdata-sf10"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")

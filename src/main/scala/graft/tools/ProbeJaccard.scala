@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * memory (dup families) or percolates (one giant component). */
 object ProbeJaccard {
   def main(args: Array[String]): Unit = {
+    graft.tools.Scratch.sweepStale() // drop crashed runs' dead scratch first
     val sfDir = if (args.length > 0) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/testdata-sf100")
     val threshold = if (args.length > 1) args(1).toDouble else 0.9

@@ -10,6 +10,7 @@ import graft.operators.Similarity
   * are. Driver-side analysis tooling, not part of the library. */
 object ProbeLsh {
   def main(args: Array[String]): Unit = {
+    graft.tools.Scratch.sweepStale() // drop crashed runs' dead scratch first
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/testdata-sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")

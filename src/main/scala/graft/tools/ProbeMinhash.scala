@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * count — to attribute above-linear scale growth to a stage. */
 object ProbeMinhash {
   def main(args: Array[String]): Unit = {
+    graft.tools.Scratch.sweepStale() // drop crashed runs' dead scratch first
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/testdata-sf1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

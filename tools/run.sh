@@ -5,6 +5,22 @@
 #   SPARK_DRIVER_MEM=80g tools/run.sh graft.BenchOne q_embed_semdedup
 set -euo pipefail
 CLASSES=/root/repo/target/scala-2.13/classes
+# fail fast on missing/stale bytecode: probes/benches silently measuring
+# code from before the last edit are worse than no measurement
+if [[ ! -d "$CLASSES" ]]; then
+  echo "ERROR: $CLASSES missing — run 'sbt compile' first" >&2
+  exit 1
+fi
+# compare against the newest CLASS FILE — the classes dir's own mtime
+# does not move when sbt rewrites files in nested package dirs
+NEWEST_CLASS=$(find "$CLASSES" -name '*.class' -printf '%T@ %p\n' | sort -rn | head -1 | cut -d' ' -f2-)
+STALE=$(find /root/repo/src/main/scala -name '*.scala' -newer "$NEWEST_CLASS" | head -3)
+if [[ -n "$STALE" ]]; then
+  echo "ERROR: sources newer than compiled classes (run 'sbt compile'):" >&2
+  echo "$STALE" >&2
+  echo "(set RUN_STALE_OK=1 to override)" >&2
+  [[ "${RUN_STALE_OK:-0}" == "1" ]] || exit 1
+fi
 JARS=$(ls /opt/spark/jars/*.jar | tr '\n' ':')
 OPENS=(java.base/java.lang java.base/java.lang.invoke \
   java.base/java.lang.reflect java.base/java.io java.base/java.net \
