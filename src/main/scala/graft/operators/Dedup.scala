@@ -123,10 +123,14 @@ object Dedup {
     * and the at-scale probe ([[graft.tools.ProbeJaccard]]) so the two
     * can't drift.
     *
-    * Three conjoined *necessary* conditions, each lossless:
-    *  - size compatibility: J ≥ t ⟹ min ≥ t·max (size filter + the
-    *    ±1 ln-scale bucket replication on side b);
-    *  - canonical occurrence: a pair sharing m prefix tokens meets m
+    * Four conjoined *necessary* conditions, each lossless (r12 — the
+    * full ppjoin family, Xiao et al. WWW'08):
+    *  - size compatibility: J ≥ t ⟹ min ≥ t·max (size filter + bucket
+    *    replication on side b);
+    *  - asymmetric INDEX prefix (in the body below): the smaller side
+    *    offers only its first `n − ⌈(2t/(1+t))·n⌉ + 1` tokens, cutting
+    *    join fan-in before any pair exists;
+    *  - canonical occurrence: a pair sharing m candidate tokens meets m
     *    times; [[graft.plans.PrefixPositional]] returns non-NULL only
     *    where the join token is the FIRST common (df, tok) prefix
     *    entry — exact dedup with no occurrence shuffle (a `distinct()`
@@ -143,14 +147,80 @@ object Dedup {
     *    verify. The 1e-9 slack inside ceil can only round the required
     *    overlap DOWN to its exact integer value, never up past it, so
     *    no qualifying pair is lost (the prefix-length slack argument).
-    */
+    *
+    * `positional = false` selects [[jaccardCandidatesSymmetric]] — the
+    * r11 shape (symmetric probe prefixes, no bound) kept as the
+    * like-for-like A/B baseline behind ProbeJaccard's SPARK_GRAFT_AB
+    * and the pruning spec's superset check; production callers never
+    * pass it. */
   private[graft] def jaccardCandidates(pfx: DataFrame, threshold: Double,
-                                       salts: Int = 1): DataFrame = {
-    val a = pfx.select(col("doc_id").as("doc_a"), col("lang"),
+                                       salts: Int = 1,
+                                       positional: Boolean = true): DataFrame = {
+    if (!positional) return jaccardCandidatesSymmetric(pfx, threshold, salts)
+    // Orientation by SIZE (a = larger, ties by id): the side-b stream
+    // offers only its INDEX prefix — the first
+    // `n − ⌈(2t/(1+t))·n⌉ + 1` tokens in the (df, tok) order (~3 at
+    // t = 0.9 vs the ~5-token probe prefix). Lossless for the smaller
+    // record of a qualifying pair: overlap o ≥ t(na+nb)/(1+t) ≥
+    // (2t/(1+t))·nb when nb ≤ na, so if the first common token sat
+    // past b's index prefix, o ≤ nb − idxLen = ⌈(2t/(1+t))·nb⌉ − 1 <
+    // o — contradiction. Join fan-in drops on both axes: fewer b rows
+    // per doc AND only {bkt, bkt+1} bucket replicas (nb ≤ na pins
+    // bucket(na) ≥ bucket(nb)), vs the symmetric shape's full probe
+    // prefix × 3 replicas.
+    val a = pfx.select(col("doc_id").as("ida"), col("lang"),
       col("tok"), col("n_toks").as("na"), col("ptoks").as("pa"))
       .withColumn("size_bucket", sizeBucket(col("na"), threshold))
       // scrambled id (murmur3), not raw id mod salts: strided id
       // allocation must not skew the salt spread (semDedup precedent)
+      .withColumn("salt", pmod(hash(col("ida")), lit(salts)).cast("int"))
+    val idxLen = (col("n_toks") -
+      ceil(col("n_toks") * lit(2.0 * threshold / (1.0 + threshold)) -
+        lit(1e-9)) + lit(1)).cast("int")
+    val bkt = sizeBucket(col("nb"), threshold)
+    // the triple array is (df, tok)-sorted == pos-sorted, so the index
+    // prefix is its first 3·idxLen elements (pos is capped at 2^21−1
+    // for monster docs; a capped row passing the filter spuriously is
+    // harmless — its token is absent from the sliced array, so the
+    // first-common check below returns NULL and the row drops)
+    val b = pfx
+      .withColumn("_il", idxLen)
+      .where(col("pos") <= col("_il"))
+      .select(col("doc_id").as("idb"), col("lang"), col("tok"),
+        col("n_toks").as("nb"),
+        slice(col("ptoks"), lit(1), col("_il") * lit(3)).as("pb"))
+      .withColumn("size_bucket", explode(array(bkt, bkt + 1)))
+      .withColumn("salt", explode(lit((0 until salts).toArray)))
+    val pp = graft.plans.PrefixPositional
+      .posCol(pfx.sparkSession, col("pa"), col("pb"), col("tok"))
+    // required overlap for J ≥ t: o/(na+nb−o) ≥ t ⟺ o ≥ t(na+nb)/(1+t)
+    val alpha = ceil((col("na") + col("nb")) *
+      lit(threshold / (1.0 + threshold)) - lit(1e-9))
+    a.join(b, Seq("lang", "size_bucket", "tok", "salt"))
+      .where((col("na") > col("nb") ||
+          (col("na") === col("nb") && col("ida") < col("idb"))) &&
+        col("nb") >= col("na") * threshold)
+      .withColumn("_pp", pp)
+      // non-NULL certifies the join token is the pair's FIRST common
+      // prefix entry (exact dedup, one occurrence per pair) AND carries
+      // its positions for the ppjoin bound
+      .where(col("_pp").isNotNull &&
+        least(col("na") - shiftright(col("_pp"), 21),
+          col("nb") - col("_pp").bitwiseAND(lit((1L << 21) - 1))) +
+          lit(1) >= alpha)
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
+  }
+
+  /** The r11 symmetric probe×probe shape without the positional bound —
+    * kept ONLY as the like-for-like A/B baseline behind
+    * `jaccardCandidates(positional = false)` (ProbeJaccard's
+    * SPARK_GRAFT_AB run and the pruning spec's superset check). */
+  private def jaccardCandidatesSymmetric(pfx: DataFrame, threshold: Double,
+                                         salts: Int): DataFrame = {
+    val a = pfx.select(col("doc_id").as("doc_a"), col("lang"),
+      col("tok"), col("n_toks").as("na"), col("ptoks").as("pa"))
+      .withColumn("size_bucket", sizeBucket(col("na"), threshold))
       .withColumn("salt", pmod(hash(col("doc_a")), lit(salts)).cast("int"))
     val bkt = sizeBucket(col("nb"), threshold)
     val b = pfx.select(col("doc_id").as("doc_b"), col("lang"),
@@ -159,18 +229,11 @@ object Dedup {
       .withColumn("salt", explode(lit((0 until salts).toArray)))
     val pp = graft.plans.PrefixPositional
       .posCol(pfx.sparkSession, col("pa"), col("pb"), col("tok"))
-    // required overlap for J ≥ t: o/(na+nb−o) ≥ t ⟺ o ≥ t(na+nb)/(1+t)
-    val alpha = ceil((col("na") + col("nb")) *
-      lit(threshold / (1.0 + threshold)) - lit(1e-9))
     a.join(b, Seq("lang", "size_bucket", "tok", "salt"))
       .where(col("doc_a") < col("doc_b") &&
         col("na") >= col("nb") * threshold &&
         col("nb") >= col("na") * threshold)
-      .withColumn("_pp", pp)
-      .where(col("_pp").isNotNull &&
-        least(col("na") - shiftright(col("_pp"), 21),
-          col("nb") - col("_pp").bitwiseAND(lit((1L << 21) - 1))) +
-          lit(1) >= alpha)
+      .where(pp.isNotNull)
       .select("doc_a", "doc_b")
   }
 

@@ -40,6 +40,16 @@ object ProbeJaccard {
       graft.operators.Dedup.prefixTokens(toks, threshold).localCheckpoint())
     println(s"[probe] prefix rows=${pfx.count()}")
 
+    // SPARK_GRAFT_AB=1: also time the dedup-only candidate join
+    // (positional bound OFF) for the like-for-like r12 ppjoin A/B
+    if (sys.env.get("SPARK_GRAFT_AB").contains("1")) {
+      val c0 = t("candidates(no positional bound)")(
+        graft.operators.Dedup.jaccardCandidates(pfx, threshold,
+          positional = false).localCheckpoint())
+      println(s"[probe] candidate pairs (no bound)=${c0.count()}")
+      c0.unpersist()
+      System.gc()
+    }
     // the exact operator path (shared with jaccardPairs — no drift)
     val cand = t("candidates")(
       graft.operators.Dedup.jaccardCandidates(pfx, threshold)

@@ -77,9 +77,11 @@ class LlmOperatorsSpec extends SparkSpec {
     // size filter (10 vs 10) and the prefix filter (they DO share a
     // prefix token) both pass. B's two unique tokens are globally rare
     // (df = 1), so they fill B's prefix and push the shared token to
-    // prefix position 3: achievable overlap ≤ min(10−posA+1, 10−posB+1)
-    // = 8 < ⌈0.8·20/1.8⌉ = 9 ⇒ the positional bound alone prunes the
-    // candidate before the pair shuffle.
+    // prefix position 3: the index prefix (⌈(2·0.8/1.8)·10⌉ ⇒ first 2
+    // tokens) excludes it, and even at probe depth the positional
+    // bound kills it — achievable overlap ≤ min(10−posA+1, 10−posB+1)
+    // = 8 < ⌈0.8·20/1.8⌉ = 9. Either way the pair dies before the
+    // pair shuffle.
     val t = 0.8
     val shared = (1 to 8).map(i => s"s$i")
     val a = (shared ++ Seq("a9", "a10")).mkString(" ")
@@ -96,6 +98,10 @@ class LlmOperatorsSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(pfxByDoc(1L).intersect(pfxByDoc(2L)).nonEmpty,
       "setup broken: pair must share a prefix token for the test to bite")
+    // with the bound disabled the pair IS a candidate — so the bound,
+    // not some other filter, does the pruning below
+    assert(Dedup.jaccardCandidates(pfx, t, positional = false)
+      .where(col("doc_a") === 1L && col("doc_b") === 2L).count() === 1)
     assert(Dedup.jaccardCandidates(pfx, t)
       .where(col("doc_a") === 1L && col("doc_b") === 2L).count() === 0,
       "positional bound failed to prune the candidate")
