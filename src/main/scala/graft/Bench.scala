@@ -76,12 +76,20 @@ object Bench {
     // a failing query must be VISIBLE in the output, not silently timed
     // as a fast success deflating the total
     val failed = scala.collection.mutable.SortedSet[String]()
+    // failure MESSAGES ride the output JSON, not just stderr: the r12
+    // sf10 incident (4 transient disk-pressure failures) cost a full
+    // re-diagnosis because the launcher pipeline's `tail -1` dropped
+    // the stderr lines that said why
+    val failMsg = scala.collection.mutable.SortedMap[String, String]()
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case t: Throwable =>
         failed += name
+        failMsg.getOrElseUpdate(name,
+          s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}"
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300))
         System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -132,6 +140,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failMsgJson = failMsg
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val skippedJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // record the MEASUREMENT CONFIG in the artifact: the r11 sf100
@@ -144,7 +155,7 @@ object Bench {
     val config =
       s"""{"shuffle_partitions":$shufp,"cpus":$cpus,"heap_gb":$heapGb,"single":$single}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"config":$config,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"fail_msgs":$failMsgJson,"skipped":$skippedJson,"config":$config,"sf":"$sfDir"}"""
     val totalOnly =
       s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson}"""
     // The harness keeps only the TAIL of this process's output and the
