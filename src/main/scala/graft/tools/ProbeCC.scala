@@ -30,16 +30,24 @@ object ProbeCC {
       r
     }
 
+    // DISK_ONLY for every probe-level checkpoint: the probe stacks
+    // token sets + prefixes + the 842M-row sf100 candidate list +
+    // endpoints in ONE JVM, and at MEMORY_AND_DISK those storage
+    // blocks starved the CC aggregates' execution memory
+    // (UNABLE_TO_ACQUIRE_MEMORY at both 32 and 256 shuffle partitions,
+    // 80 g heap). A real cluster spreads these over executors; the
+    // single-box probe reads them back from local disk instead.
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val toks = graft.operators.Dedup.tokenSets(docs).localCheckpoint()
-    val pfx = graft.operators.Dedup.prefixTokens(toks, 0.9).localCheckpoint()
+    val toks = graft.operators.Dedup.tokenSets(docs).localCheckpoint(true, disk)
+    val pfx = graft.operators.Dedup.prefixTokens(toks, 0.9).localCheckpoint(true, disk)
     // the exact operator path (shared with jaccardPairs — no drift)
     val cand = t("candidates")(
-      graft.operators.Dedup.jaccardCandidates(pfx, 0.9).localCheckpoint())
+      graft.operators.Dedup.jaccardCandidates(pfx, 0.9).localCheckpoint(true, disk))
     println(s"[probecc] candidate pairs=${cand.count()}")
     val endpoints = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, disk)
 
     def summarize(tag: String, thr: Long): (Long, java.math.BigDecimal) = {
       val cc = t(s"duplicateClusters($tag)")(
