@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextAnalysis
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
@@ -312,7 +313,16 @@ object Dedup {
     }
     if (toks.count() < routeThresholdDocs) direct
     else {
-      val c = cand.localCheckpoint() // eager: candidate generation runs here
+      // PAIR-scale block store entries go straight to disk: at sf100
+      // the 842M-row candidate list cached MEMORY_AND_DISK squeezed the
+      // unified pool until concurrent aggregates got ZERO execution
+      // memory (UNABLE_TO_ACQUIRE_MEMORY, in-bench r12) — and on a real
+      // executor the same competition exists per node. Re-reads are
+      // sequential scans (verify + CC rounds), which local disk + page
+      // cache serve at memory speed; only pair-scale frames pay the
+      // serialization toll (node- and corpus-scale checkpoints stay
+      // MEMORY_AND_DISK).
+      val c = cand.localCheckpoint(true, StorageLevel.DISK_ONLY) // eager: candidate generation runs here
       // the prefix stream's blocks are dead once candidates exist
       pfx.unpersist()
       // reclaim the generation stages' shuffle files (tokenize/df/rank/
@@ -457,7 +467,8 @@ object Dedup {
     // are narrow maps over the existing blocks. A lazy caller (a whole
     // operator pipeline) still gets the checkpoint so rounds don't
     // re-execute it.
-    var edges = if (pairsMaterialized) edges0 else edges0.localCheckpoint(true)
+    var edges = if (pairsMaterialized) edges0
+      else edges0.localCheckpoint(true, StorageLevel.DISK_ONLY) // pair-scale (see jaccardPairs)
     // the checkpoint whose blocks back `edges`, when THIS call made it
     // (safe to unpersist after a contraction replaces it) — the
     // pairsMaterialized frame belongs to the caller
@@ -554,7 +565,9 @@ object Dedup {
           .where(col("la") =!= col("lb"))
           .select(col("la").as("src"), col("lb").as("dst"))
           .distinct()
-          .localCheckpoint(true)
+          // quotient-graph-sized but unbounded above — pair-scale on
+          // the first contraction of a sparse graph, so disk-staged
+          .localCheckpoint(true, StorageLevel.DISK_ONLY)
         edgesCkpt.foreach(_.unpersist())
         // fresh attribute lineage over the checkpointed blocks: the
         // contracted list derives from `next`, and NEXT round joins it
