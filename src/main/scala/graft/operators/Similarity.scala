@@ -488,6 +488,197 @@ object Similarity {
       clean.join(hierAssignByTable(clean, cents, iters), "vec_id")
   }
 
+  /** Tree-quantizer list count — [[autoNLists]] with the cap lifted to
+    * 2²⁴: the three-level fit below has no k-sized literal and never
+    * collects children to the driver, so the binding constraints of the
+    * two-level path (fit-round literal matrix, driver super Lloyd —
+    * see [[autoNLists]]) don't apply. At n/1024 sizing the new cap
+    * binds at ~17B vectors; integer-only so an oracle can replay it:
+    * `greatest(16, least(16777216, n // 1024))`. */
+  def autoNListsTree(n: Long): Int =
+    math.max(16L, math.min(16777216L, n / 1024L)).toInt
+
+  /** Third-level (tree) quantizer fit — the documented lever past the
+    * two-level path's ~16M-vector/box cliff ([[autoNLists]],
+    * [[hierAssignByTable]]): BOTH fit stages are distributed and the
+    * child centroids never exist driver-side, so no step scales with k
+    * on a single machine.
+    *
+    *  1. SUPERS: the existing distributed [[lloydFit]] at
+    *     s = [[superCount]](nLists) — its literal matrix is s ≤ ~√k
+    *     rows (≤ 4096 at the 2²⁴ cap), never k.
+    *  2. CHILDREN: a GROUPED per-super Lloyd over the scaled fit
+    *     sample (`greatest(maxFitRows, 4·nLists)` rows, seed 7 — the
+    *     same sample rule as [[lloydFit]]). Sample rows are assigned
+    *     to their nearest super once (literal s-argmin, ties to the
+    *     smaller super id); per super, the `cq = ⌈nLists/ns⌉` rows
+    *     with smallest (portableBucket(vec_id, 17), vec_id) seed that
+    *     branch's children (hash-spread init, numbered 0..cq-1 in that
+    *     order — the [[lloydFit]] init rule per group); each round
+    *     re-assigns every sample row to the nearest child OF ITS OWN
+    *     SUPER (broadcast child-table join on super_id + narrow-row
+    *     min_by, ties to the smaller child) and recomputes means
+    *     through the integerized `floor(x·1e8+0.5)` DECIMAL(38,0)
+    *     exact-sum path. An emptied child drops out; a super with no
+    *     sample rows has no children and is excluded from corpus
+    *     routing (its vectors go to the nearest POPULATED super, the
+    *     [[hierAssignByTable]] rule). Every step is deterministic pure
+    *     arithmetic a DuckDB oracle replays bit-for-bit.
+    *
+    * Flat ids: `list_id = super_id · cq + child_idx` — collision-free
+    * by construction (child_idx < cq), integer-only, no extra pass.
+    *
+    * Returns (populated supers sorted by id — a driver Seq of ≤ ns
+    * metadata-scale rows, the ONLY thing collected — and the child
+    * table (super_id, list_id, cvec, cc) as a DataFrame). Child
+    * centroid state is `localCheckpoint`ed per round so the iteration
+    * doesn't recompute its predecessors (k-row table, not pair-scale,
+    * so the default storage tier is fine).
+    */
+  private[graft] def treeFit(v: DataFrame, nLists: Int, iters: Int,
+      maxFitRows: Long, nRows: Long = -1L)
+      : (Seq[(Int, Array[Double], Double)], DataFrame) = {
+    require(nLists >= 1, s"treeFit needs nLists >= 1, got $nLists")
+    require(iters >= 1, // round 1 also flushes any null-super init rows
+      s"treeFit needs iters >= 1, got $iters")
+    val spark = v.sparkSession
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+    val n = if (nRows >= 0L) nRows else v.count()
+    val ns = superCount(nLists)
+    val cq = (nLists + ns - 1) / ns
+
+    val supers = lloydFit(v, ns, iters, maxFitRows, n)
+
+    // null-vv rows (null vector or null element) are excluded from the
+    // child sample HERE — loud, route-independent, the assignLists null
+    // contract; the super lloydFit above inherits lloydFit's caller-
+    // feeds-non-null contract unchanged.
+    val fitRows = math.max(maxFitRows, 4L * nLists)
+    val fit = v.where(
+        Sampling.portableBucket(col("vec_id"), 7) * lit(n) <
+          lit(fitRows * 10000L) && col("vv").isNotNull)
+      .withColumn("super_id", argminCol(v, supers))
+      .localCheckpoint() // sample-scale; reused every grouped round
+    val wInit = Window.partitionBy("super_id")
+      .orderBy(col("pb"), col("vec_id"))
+    val c0 = fit
+      .withColumn("pb", Sampling.portableBucket(col("vec_id"), 17))
+      .withColumn("child_idx", row_number().over(wInit) - lit(1))
+      .where(col("child_idx") < cq)
+      .select(col("super_id"), col("child_idx"),
+        col("vec").as("cvec"), col("vv").as("cc"))
+
+    val fin = (1 to iters).foldLeft(c0.localCheckpoint(true)) { case (c, _) =>
+      // assignment rows stay NARROW (the hierAssignByTable lesson):
+      // the winning row's vector is re-attached by vec_id afterwards.
+      val asg = fit.join(broadcast(c), "super_id")
+        .withColumn("d2",
+          col("vv") + col("cc") - lit(2.0) * ndot(col("vec"), col("cvec")))
+        .select(col("vec_id"), col("super_id"), col("child_idx"), col("d2"))
+        .groupBy("vec_id", "super_id")
+        .agg(min_by(col("child_idx"), struct(col("d2"), col("child_idx")))
+          .as("child_idx"))
+      import org.apache.spark.sql.types.DecimalType
+      asg.join(fit.select("vec_id", "vec"), "vec_id")
+        .select(col("super_id"), col("child_idx"),
+          posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("super_id", "child_idx", "pos")
+        .agg(sum(floor(col("x") * lit(1e8) + lit(0.5))
+            .cast(DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("cnt"))
+        .select(col("super_id"), col("child_idx"), col("pos"),
+          (col("s").cast("double") / lit(1e8) / col("cnt")).as("cx"))
+        .groupBy("super_id", "child_idx")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx"))))
+          .as("pc"))
+        .select(col("super_id"), col("child_idx"),
+          transform(col("pc"), p => p.getField("cx")).as("cvec"))
+        .withColumn("cc", ndot(col("cvec"), col("cvec")))
+        .localCheckpoint(true)
+    }
+    val kids = fin
+      .withColumn("list_id",
+        (col("super_id") * lit(cq) + col("child_idx")).cast("int"))
+      .select("super_id", "list_id", "cvec", "cc")
+      .localCheckpoint(true)
+    val populated = kids.select("super_id").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ ns rows — metadata scale
+    (supers.filter(s => populated.contains(s._1)), kids)
+  }
+
+  /** Corpus-side assignment against a [[treeFit]]: literal argmin over
+    * the ≤ ns populated supers, then the nearest child of that branch
+    * via the child-TABLE join + narrow-row min_by — the
+    * [[hierAssignByTable]] shape, except the children arrive as a
+    * DataFrame that never existed driver-side. The child join
+    * broadcasts below [[autoNLists]]'s 16384 (≤ ~8 MB of centroids)
+    * and falls back to a shuffle join on super_id beyond — at 2²⁴
+    * lists the child table is ~8 GB, far past any broadcast budget,
+    * and branch sizes are hash-spread ~uniform so the shuffle join has
+    * no skew cliff. Null contract as [[assignLists]]: rows whose vv is
+    * null DROP. Returns (vec_id, vec, vv, list_id). */
+  private[graft] def treeAssign(v: DataFrame,
+      supers: Seq[(Int, Array[Double], Double)], kids: DataFrame,
+      nLists: Int): DataFrame = {
+    val ndot = graft.plans.DotProduct.dotCol(v.sparkSession, _: Column, _: Column)
+    val clean = v.where(col("vv").isNotNull)
+    val kidsJ = if (nLists <= 16384) broadcast(kids) else kids
+    val asg = clean.select(col("vec_id"), col("vec"), col("vv"))
+      .withColumn("super_id", argminCol(clean, supers))
+      .join(kidsJ, "super_id")
+      .withColumn("d2",
+        col("vv") + col("cc") - lit(2.0) * ndot(col("vec"), col("cvec")))
+      .select(col("vec_id"), col("list_id"), col("d2"))
+      .groupBy("vec_id")
+      .agg(min_by(col("list_id"), struct(col("d2"), col("list_id")))
+        .as("list_id"))
+    clean.join(asg, "vec_id") // n-sized attach join, both sides one shuffle
+  }
+
+  /** [[ivfTopK]] routed through the three-level [[treeFit]] — the
+    * beyond-16M-vectors spelling. Same probe semantics (the nProbe
+    * nearest child lists among ALL children per query, ties
+    * (d2, list_id)) and the same candidate/rank tail, but the probe
+    * scoring is a JOIN against the child table (query side broadcast —
+    * nQueries rows) instead of a k-row literal, so no stage carries k
+    * driver-side. nLists ≤ 0 auto-sizes via [[autoNListsTree]].
+    * Returns (query_id, rank, neighbor_id). */
+  def ivfTopKTree(emb: DataFrame, nQueries: Int, k: Int,
+                  nLists: Int = -1, nProbe: Int = 4, iters: Int = 2,
+                  maxFitRows: Long = 4096L): DataFrame = {
+    val spark = emb.sparkSession
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val n = v.count()
+    val nl = if (nLists > 0) nLists else autoNListsTree(n)
+    val (supers, kids) = treeFit(v, nl, iters, maxFitRows, n)
+
+    val q = v.where(col("vec_id") < nQueries && col("vv").isNotNull)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("vv").as("qvv"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("d2"), col("list_id"))
+    val probes = kids.crossJoin(broadcast(q))
+      .withColumn("d2",
+        col("qvv") + col("cc") - lit(2.0) * ndot(col("qvec"), col("cvec")))
+      .withColumn("pr", row_number().over(wp))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("qvv"), col("list_id"))
+    val cand = treeAssign(v.where(col("vec_id") >= nQueries), supers, kids, nl)
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
+        col("vv").as("cvv"), col("list_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(probes).join(cand, Seq("list_id"))
+      .withColumn("cos", ndot(col("qvec"), col("cvec")) /
+        (sqrt(col("qvv")) * sqrt(col("cvv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               nLists: Int = -1, nProbe: Int = 4, iters: Int = 2,
               maxFitRows: Long = 4096L): DataFrame = {

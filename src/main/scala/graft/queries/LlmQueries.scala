@@ -767,6 +767,159 @@ object LlmQueries {
              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Three-level (tree) IVF — the beyond-16M-vectors fit
+    // (Similarity.treeFit): supers from the distributed lloydFit at
+    // ns = ceil-sqrt(nLists), children from a grouped per-super Lloyd
+    // over the scaled fit sample, corpus assignment super→child with
+    // no k-sized literal and no driver-side child state. Deterministic
+    // pure arithmetic end-to-end, so the oracle replays the ENTIRE
+    // chain: the super Lloyd (2 rounds), the child-sample super
+    // assignment, the grouped child Lloyd (2 rounds), flat ids
+    // list_id = super_id*cq + child_idx, flat probe ranking, and the
+    // populated-super corpus routing. Registry parameters hardcoded
+    // (nQueries=25, k=5, nLists=48 → ns=7, cq=7, nProbe=4, iters=2,
+    // maxFitRows=4096, seeds 7/17): regenerate if the call changes.
+    Q("q_embed_ann_ivf_tree",
+      (s, dir) => Similarity.ivfTopKTree(embeddings(s, dir), 25, 5,
+          nLists = 48)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+             |    list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                     CAST(embedding AS DOUBLE[])) AS vv
+             |  FROM embeddings),
+             |prm AS (SELECT COUNT(*) AS n FROM vv),
+             |sfit AS (SELECT vv.* FROM vv, prm
+             |  WHERE ${Sampling.portableBucketSql("vec_id", 7)} * n
+             |    < greatest(4096, 4 * 7) * 10000),
+             |sinit AS (SELECT vec, vv, super_id FROM (
+             |  SELECT vec, vv,
+             |      ROW_NUMBER() OVER (ORDER BY pb, vec_id) - 1 AS super_id
+             |  FROM (SELECT vec_id, vec, vv,
+             |      ${Sampling.portableBucketSql("vec_id", 17)} AS pb
+             |    FROM sfit)) WHERE super_id < 7),
+             |scent0 AS (SELECT super_id, vec AS svec, vv AS sc FROM sinit),
+             |sasg1 AS (SELECT vec_id, vec, vv, super_id FROM (
+             |    SELECT f.vec_id, f.vec, f.vv, c.super_id,
+             |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             |        ORDER BY f.vv + c.sc - 2*list_dot_product(f.vec, c.svec),
+             |                 c.super_id) AS rn
+             |    FROM sfit f CROSS JOIN scent0 c) WHERE rn = 1),
+             |sm1 AS (SELECT super_id, pos,
+             |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+             |      / 1e8 / COUNT(*) AS c
+             |  FROM (SELECT super_id, generate_subscripts(vec, 1) AS pos,
+             |          unnest(vec) AS x FROM sasg1)
+             |  GROUP BY super_id, pos),
+             |scent1 AS (SELECT super_id, svec, list_dot_product(svec, svec) AS sc
+             |  FROM (SELECT super_id, list(c ORDER BY pos) AS svec
+             |        FROM sm1 GROUP BY super_id)),
+             |sasg2 AS (SELECT vec_id, vec, vv, super_id FROM (
+             |    SELECT f.vec_id, f.vec, f.vv, c.super_id,
+             |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             |        ORDER BY f.vv + c.sc - 2*list_dot_product(f.vec, c.svec),
+             |                 c.super_id) AS rn
+             |    FROM sfit f CROSS JOIN scent1 c) WHERE rn = 1),
+             |sm2 AS (SELECT super_id, pos,
+             |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+             |      / 1e8 / COUNT(*) AS c
+             |  FROM (SELECT super_id, generate_subscripts(vec, 1) AS pos,
+             |          unnest(vec) AS x FROM sasg2)
+             |  GROUP BY super_id, pos),
+             |scent2 AS (SELECT super_id, svec, list_dot_product(svec, svec) AS sc
+             |  FROM (SELECT super_id, list(c ORDER BY pos) AS svec
+             |        FROM sm2 GROUP BY super_id)),
+             |cfit AS (SELECT vec_id, vec, vv, super_id FROM (
+             |    SELECT f.vec_id, f.vec, f.vv, s.super_id,
+             |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             |        ORDER BY f.vv + s.sc - 2*list_dot_product(f.vec, s.svec),
+             |                 s.super_id) AS rn
+             |    FROM (SELECT vv.* FROM vv, prm
+             |      WHERE ${Sampling.portableBucketSql("vec_id", 7)} * n
+             |        < greatest(4096, 4 * 48) * 10000
+             |        AND vv IS NOT NULL) f
+             |    CROSS JOIN scent2 s) WHERE rn = 1),
+             |cinit AS (SELECT super_id, child_idx, vec AS cvec, vv AS cc FROM (
+             |  SELECT super_id, vec, vv,
+             |      ROW_NUMBER() OVER (PARTITION BY super_id
+             |        ORDER BY pb, vec_id) - 1 AS child_idx
+             |  FROM (SELECT vec_id, vec, vv, super_id,
+             |      ${Sampling.portableBucketSql("vec_id", 17)} AS pb
+             |    FROM cfit)) WHERE child_idx < 7),
+             |casg1 AS (SELECT vec_id, super_id, child_idx FROM (
+             |    SELECT f.vec_id, f.super_id, c.child_idx,
+             |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             |        ORDER BY f.vv + c.cc - 2*list_dot_product(f.vec, c.cvec),
+             |                 c.child_idx) AS rn
+             |    FROM cfit f JOIN cinit c ON c.super_id = f.super_id)
+             |  WHERE rn = 1),
+             |cm1 AS (SELECT super_id, child_idx, pos,
+             |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+             |      / 1e8 / COUNT(*) AS c
+             |  FROM (SELECT a.super_id, a.child_idx,
+             |          generate_subscripts(f.vec, 1) AS pos,
+             |          unnest(f.vec) AS x
+             |        FROM casg1 a JOIN cfit f USING (vec_id))
+             |  GROUP BY super_id, child_idx, pos),
+             |ccent1 AS (SELECT super_id, child_idx, cvec,
+             |    list_dot_product(cvec, cvec) AS cc
+             |  FROM (SELECT super_id, child_idx, list(c ORDER BY pos) AS cvec
+             |        FROM cm1 GROUP BY super_id, child_idx)),
+             |casg2 AS (SELECT vec_id, super_id, child_idx FROM (
+             |    SELECT f.vec_id, f.super_id, c.child_idx,
+             |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             |        ORDER BY f.vv + c.cc - 2*list_dot_product(f.vec, c.cvec),
+             |                 c.child_idx) AS rn
+             |    FROM cfit f JOIN ccent1 c ON c.super_id = f.super_id)
+             |  WHERE rn = 1),
+             |cm2 AS (SELECT super_id, child_idx, pos,
+             |    CAST(SUM(CAST(floor(x*1e8 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+             |      / 1e8 / COUNT(*) AS c
+             |  FROM (SELECT a.super_id, a.child_idx,
+             |          generate_subscripts(f.vec, 1) AS pos,
+             |          unnest(f.vec) AS x
+             |        FROM casg2 a JOIN cfit f USING (vec_id))
+             |  GROUP BY super_id, child_idx, pos),
+             |ccent2 AS (SELECT super_id, child_idx, cvec,
+             |    list_dot_product(cvec, cvec) AS cc
+             |  FROM (SELECT super_id, child_idx, list(c ORDER BY pos) AS cvec
+             |        FROM cm2 GROUP BY super_id, child_idx)),
+             |kids AS (SELECT super_id,
+             |    CAST(super_id * 7 + child_idx AS INT) AS list_id, cvec, cc
+             |  FROM ccent2),
+             |pop AS (SELECT DISTINCT super_id FROM kids),
+             |probes AS (SELECT query_id, qvec, qvv, list_id FROM (
+             |    SELECT q.vec_id AS query_id, q.vec AS qvec, q.vv AS qvv,
+             |      k.list_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |        ORDER BY q.vv + k.cc - 2*list_dot_product(q.vec, k.cvec),
+             |                 k.list_id) AS rn
+             |    FROM (SELECT * FROM vv WHERE vec_id < 25) q
+             |    CROSS JOIN kids k) WHERE rn <= 4),
+             |vsupt AS (SELECT vec_id, super_id FROM (
+             |    SELECT x.vec_id, s.super_id,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             |        ORDER BY x.vv + s.sc - 2*list_dot_product(x.vec, s.svec),
+             |                 s.super_id) AS rn
+             |    FROM (SELECT * FROM vv WHERE vec_id >= 25) x
+             |    CROSS JOIN (SELECT s.* FROM scent2 s JOIN pop USING (super_id)) s)
+             |  WHERE rn = 1),
+             |cand AS (SELECT neighbor_id, cvec, cvv, list_id FROM (
+             |    SELECT x.vec_id AS neighbor_id, x.vec AS cvec, x.vv AS cvv,
+             |      k.list_id,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             |        ORDER BY x.vv + k.cc - 2*list_dot_product(x.vec, k.cvec),
+             |                 k.list_id) AS rn
+             |    FROM vv x
+             |    JOIN vsupt t ON t.vec_id = x.vec_id
+             |    JOIN kids k ON k.super_id = t.super_id) WHERE rn = 1),
+             |r AS (SELECT query_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             |      list_dot_product(qvec, cvec) / (sqrt(qvv) * sqrt(cvv)) DESC,
+             |      neighbor_id) AS rank
+             |  FROM probes p JOIN cand c USING (list_id))
+             |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // int8 embedding quantization (the 4× storage step for a corpus-
     // scale embedding table); per-vector scale + checksum + saturation
     // count make the output driver-sortable while pinning every
