@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{PortableHash, TextAnalysis}
+
+/** Hashed-feature linear quality classifier — the "apply a trained
+  * model to the whole corpus" filtering stage of an LLM data pipeline
+  * (the fastText quality filters of DCLM / the FineWeb-Edu classifier
+  * gate), distinct from the heuristic signals of
+  * [[graft.functions.TextAnalysis.qualityMetrics]]: the model is
+  * trained OFFLINE (any logistic-regression/fastText trainer) and
+  * arrives here as a flat weight vector over hashed token buckets.
+  *
+  * Score = `bias + (Σ_tokens w[cp31u(token) mod nBuckets]) / n_tokens`
+  * — the mean-of-token-weights linear form (fastText's averaged bag of
+  * features with a hashing-trick vocabulary). The LOGIT is emitted,
+  * not the sigmoid: it is monotone-equivalent for thresholding and
+  * keeps the output inside the repo's exact cross-engine arithmetic
+  * (`exp` is a libm call with no bit-parity contract between engines;
+  * a fold of `·31 + cp` hashes, literal-array lookups, one ordered sum
+  * and one division is replayed bit-for-bit by DuckDB).
+  *
+  * Scale shape: pure column expressions over one scan — per-document
+  * map work, ZERO shuffles, no UDF (the hash is the
+  * [[PortableHash.cp31uCol]] codegen fold, the weight lookup an
+  * `element_at` into a literal array riding the expression as a
+  * reference object — ≤ 8 B/bucket, so even a 2²⁰-bucket model is a
+  * few MB of task binary, the broadcast-a-small-model pattern).
+  * Tokenization is the canonical [[TextAnalysis.tokens]] whitespace
+  * split, so the classifier sees exactly the tokens the rest of the
+  * curation stack counts.
+  */
+object QualityClassifier {
+
+  /** (doc_id, n_tokens, qscore, keep) for every document; `keep` is
+    * `qscore >= threshold`. `weights(b)` is the coefficient of hash
+    * bucket b; `weights.size` fixes the bucket count. */
+  def scoreDocs(docs: DataFrame, weights: Seq[Double], bias: Double,
+                threshold: Double): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val nb = weights.size
+    val toks = TextAnalysis.tokens(col("text"))
+    val tokenWeight: Column => Column = t =>
+      element_at(typedLit(weights), (PortableHash.cp31uCol(t) % nb).cast("int") + 1)
+    val score = (lit(bias) +
+      aggregate(toks, lit(0.0), (acc, t) => acc + tokenWeight(t)) /
+        size(toks))
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        score.as("qscore"))
+      .withColumn("keep", col("qscore") >= threshold)
+  }
+}

@@ -1426,6 +1426,42 @@ object LlmQueries {
              |FROM s, t WHERE s.score >= t.thr
              |GROUP BY lang, t.thr ORDER BY lang""".stripMargin)),
 
+    // Hashed-feature linear quality classifier (fastText/DCLM-style
+    // "apply the trained model to the corpus" gate — the MODEL-based
+    // counterpart of the heuristic q_quality_gate). The 256-bucket
+    // weight vector here is a deterministic synthetic stand-in for an
+    // offline-trained model (Knuth-multiplier spread into [-1, 1]);
+    // the operator takes any weights. Logit emitted, not sigmoid —
+    // exp has no cross-engine bit contract, the linear form does:
+    // cp31u code-point hash fold, literal-array lookup, one ordered
+    // sum, one division, all replayed exactly. Zero shuffles.
+    Q("q_quality_classifier",
+      (s, dir) => graft.operators.QualityClassifier.scoreDocs(
+          documents(s, dir),
+          (0 until 256).map(b =>
+            ((b * 2654435761L % 4294967296L) % 2001 - 1000) / 1000.0),
+          bias = 0.1, threshold = 0.0)
+        .orderBy("doc_id"),
+      Some("""WITH wl AS (SELECT list(
+             |    (((b * 2654435761) % 4294967296) % 2001 - 1000) / 1000.0
+             |    ORDER BY b) AS w
+             |  FROM range(256) r(b)),
+             |t AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |tw AS (SELECT doc_id, len(toks) AS n_tokens,
+             |    list_reduce(list_prepend(0.0, list_transform(toks, tok ->
+             |      wl.w[CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             |          list_transform(regexp_extract_all(tok, '(?s).'),
+             |            c -> CAST(unicode(c) AS HUGEINT))),
+             |          (h, c) -> (h*31 + c) % 4294967296) % 256 AS INT) + 1])),
+             |      (a, x) -> a + x) AS s
+             |  FROM t, wl)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  0.1 + s / n_tokens AS qscore,
+             |  (0.1 + s / n_tokens) >= 0.0 AS keep
+             |FROM tw ORDER BY doc_id""".stripMargin)),
+
     // Per-language token-budget subsampling: take docs in deterministic
     // portable-hash priority order until each lang holds 2000 tokens
     // (the crossing doc is included). The Spark side runs the sharded
