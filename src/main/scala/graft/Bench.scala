@@ -81,10 +81,26 @@ object Bench {
     // re-diagnosis because the launcher pipeline's `tail -1` dropped
     // the stderr lines that said why
     val failMsg = scala.collection.mutable.SortedMap[String, String]()
+    // Force FULL output evaluation through the noop sink (r12): the
+    // previous action was .count(), which lets Catalyst prune every
+    // computed column not needed for row counting — map-only queries
+    // (simhash signatures, rolling fingerprints, the quality
+    // classifier) timed the parquet ROW COUNT instead of the operator
+    // (sf100 read 0.12–0.3 s for 5M-doc signature passes), and even
+    // agg queries dropped unreferenced aggregate expressions and
+    // top-level sorts. The noop sink evaluates every output row
+    // end-to-end (sorts included) at zero sink cost. The old action
+    // stays behind SPARK_GRAFT_FORCE=count for like-for-like A/Bs
+    // against pre-r12 artifacts; the config JSON records which ran.
+    val force = sys.env.getOrElse("SPARK_GRAFT_FORCE", "noop")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try {
+        val df = fn(spark, sfDir)
+        if (force == "count") { df.count(); () }
+        else df.write.format("noop").mode("overwrite").save()
+      }
       catch { case t: Throwable =>
         failed += name
         failMsg.getOrElseUpdate(name,
@@ -153,7 +169,7 @@ object Bench {
     val shufp = spark.conf.get("spark.sql.shuffle.partitions")
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
     val config =
-      s"""{"shuffle_partitions":$shufp,"cpus":$cpus,"heap_gb":$heapGb,"single":$single}"""
+      s"""{"shuffle_partitions":$shufp,"cpus":$cpus,"heap_gb":$heapGb,"single":$single,"force":"$force"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"fail_msgs":$failMsgJson,"skipped":$skippedJson,"config":$config,"sf":"$sfDir"}"""
     val totalOnly =

@@ -25,10 +25,18 @@ object BenchOne {
     val runs = runsRaw.toIntOption.getOrElse(
       sys.error(s"SPARK_GRAFT_RUNS must be an integer, got '$runsRaw'"))
     require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
+    // row count from ONE untimed pruned pass (sanity + per-query
+    // prime); timed runs force FULL output evaluation through the
+    // noop sink, matching Bench (r12 — .count() let Catalyst prune
+    // the computed columns; see Bench.scala). SPARK_GRAFT_FORCE=count
+    // restores the old action for A/Bs against pre-r12 numbers.
+    val force = sys.env.getOrElse("SPARK_GRAFT_FORCE", "noop")
+    val rows = fn(spark, sfDir).count()
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[benchone] $name run $i: ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
+      if (force == "count") { fn(spark, sfDir).count(); () }
+      else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[benchone] $name run $i: ${(System.nanoTime()-t0)/1e9}%.2f s ($rows rows)")
     }
     spark.stop()
   }

@@ -804,17 +804,54 @@ object Similarity {
     // price; at real scale it replaces three full scan+assign passes.
     val asg = assignLists(v, lloydFit(v, nl, iters, maxFitRows, n), iters)
       .localCheckpoint()
-    // the self-join key carries a SALT (a-side by id, b-side replicated
-    // ×salts) so one cluster's quadratic pair work spreads over `salts`
-    // tasks instead of one — the within-cluster comparison is the
-    // operator's whole cost, and without the salt its parallelism caps
-    // at nLists (AQE even coalesces the small INPUT to one task while
-    // the OUTPUT is the quadratic part). Every (a, b) pair still meets
-    // exactly once: b replicates to all salts, a picks one. The salt is
-    // a SCRAMBLED id (murmur3), not the raw id mod salts: strided id
-    // allocation (all-even ids, block-allocated ranges) would skew raw
-    // residues and re-concentrate the quadratic work the salt exists to
-    // spread; correctness never depends on the salt value.
+    pruneWithinClusters(asg, threshold, salts)
+  }
+
+  /** [[semDedupSurvivors]] with the three-level [[treeFit]] quantizer —
+    * the beyond-16M-vectors spelling (nLists ≤ 0 auto-sizes via
+    * [[autoNListsTree]]'s 2²⁴ cap): same within-cluster prune, same
+    * salted self-join, only the coarse clustering comes from the
+    * distributed tree fit instead of the literal-capped two-level path.
+    * Below the cap [[semDedupSurvivors]] remains the default (the
+    * sf100 A/B in BASELINE.md: the tree fit pays ~2× where the literal
+    * path is still available). */
+  def semDedupSurvivorsTree(emb: DataFrame, threshold: Double,
+                            nLists: Int = -1, iters: Int = 2,
+                            maxFitRows: Long = 4096L, salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val ndot = graft.plans.DotProduct.dotCol(emb.sparkSession, _: Column, _: Column)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val n = v.count()
+    val nl = if (nLists > 0) nLists else autoNListsTree(n)
+    val (supers, kids) = treeFit(v, nl, iters, maxFitRows, n)
+    val asg = treeAssign(v, supers, kids, nl)
+      .select("vec_id", "vec", "vv", "list_id").localCheckpoint()
+    pruneWithinClusters(asg, threshold, salts)
+  }
+
+  /** The shared SemDeDup prune over a materialized cluster assignment
+    * `asg` (vec_id, vec, vv, list_id): within-cluster pairs only, a
+    * vector is pruned iff a smaller-id cluster-mate has cos ≥
+    * threshold. The assignment must arrive materialized
+    * (localCheckpoint) — the three consumers below (both self-join
+    * sides + the anti-join left) would each re-execute the full-corpus
+    * assignment otherwise.
+    *
+    * The self-join key carries a SALT (a-side by id, b-side replicated
+    * ×salts) so one cluster's quadratic pair work spreads over `salts`
+    * tasks instead of one — the within-cluster comparison is the
+    * operator's whole cost, and without the salt its parallelism caps
+    * at nLists (AQE even coalesces the small INPUT to one task while
+    * the OUTPUT is the quadratic part). Every (a, b) pair still meets
+    * exactly once: b replicates to all salts, a picks one. The salt is
+    * a SCRAMBLED id (murmur3), not the raw id mod salts: strided id
+    * allocation (all-even ids, block-allocated ranges) would skew raw
+    * residues and re-concentrate the quadratic work the salt exists to
+    * spread; correctness never depends on the salt value. */
+  private def pruneWithinClusters(asg: DataFrame, threshold: Double,
+                                  salts: Int): DataFrame = {
+    val ndot = graft.plans.DotProduct.dotCol(asg.sparkSession, _: Column, _: Column)
     val a = asg.select(col("vec_id").as("vec_a"), col("vec").as("va"),
       col("vv").as("vva"), col("list_id"))
       .withColumn("_salt", pmod(hash(col("vec_a")), lit(salts)).cast("int"))

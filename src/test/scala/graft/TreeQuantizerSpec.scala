@@ -128,6 +128,36 @@ class TreeQuantizerSpec extends SparkSpec {
     assert(recall >= 0.8, s"tree IVF recall $recall < 0.8")
   }
 
+  test("semDedupSurvivorsTree == brute-force within-cluster prune over the tree clusters") {
+    val vecs = corpus(400)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val thr = 0.87
+    val got = Similarity.semDedupSurvivorsTree(emb, thr, nLists = 12)
+      .select("vec_id", "list_id").as[(Long, Int)].collect().toMap
+    // reference: identical (deterministic) tree assignment, then prune
+    // every vector with a smaller-id cluster-mate at cos >= thr
+    val v = withVv(vecs.toDF("vec_id", "vec"))
+    val (supers, kids) =
+      Similarity.treeFit(v, nLists = 12, iters = 2, maxFitRows = 4096L)
+    val asg = Similarity.treeAssign(v, supers, kids, nLists = 12)
+      .select("vec_id", "list_id").as[(Long, Int)].collect().toSeq
+    val vecOf = vecs.toMap.map { case (id, s) => id -> s.toArray }
+    val survivors = asg.groupBy(_._2).values.flatMap { cluster =>
+      val sorted = cluster.sortBy(_._1)
+      sorted.filter { case (id, _) =>
+        !sorted.exists { case (other, _) =>
+          other < id && {
+            val a = vecOf(other); val b = vecOf(id)
+            dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) >= thr
+          }
+        }
+      }
+    }.toMap
+    assert(survivors.size < 400 && survivors.nonEmpty,
+      s"threshold $thr should prune some but not all (kept ${survivors.size})")
+    assert(got == survivors)
+  }
+
   test("corpus assignment carries no k-sized literal: children arrive via a broadcast join") {
     val v = withVv(corpus(300).toDF("vec_id", "vec"))
     val (supers, kids) =
