@@ -33,22 +33,29 @@ import graft.functions.{PortableHash, TextAnalysis}
   */
 object QualityClassifier {
 
+  /** The raw logit column over a `text` column — exposed separately so
+    * the streaming ingest gate ([[graft.streaming.StreamQualityGate]])
+    * can append it to a streaming frame statelessly (a join against
+    * [[scoreDocs]]' projected output would be a stream-stream
+    * self-join, which append mode rejects without watermarks). */
+  def scoreCol(text: Column, weights: Seq[Double], bias: Double): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val nb = weights.size
+    val toks = TextAnalysis.tokens(text)
+    val tokenWeight: Column => Column = t =>
+      element_at(typedLit(weights), (PortableHash.cp31uCol(t) % nb).cast("int") + 1)
+    lit(bias) +
+      aggregate(toks, lit(0.0), (acc, t) => acc + tokenWeight(t)) /
+        size(toks)
+  }
+
   /** (doc_id, n_tokens, qscore, keep) for every document; `keep` is
     * `qscore >= threshold`. `weights(b)` is the coefficient of hash
     * bucket b; `weights.size` fixes the bucket count. */
   def scoreDocs(docs: DataFrame, weights: Seq[Double], bias: Double,
-                threshold: Double): DataFrame = {
-    require(weights.nonEmpty, "weights must be non-empty")
-    val nb = weights.size
-    val toks = TextAnalysis.tokens(col("text"))
-    val tokenWeight: Column => Column = t =>
-      element_at(typedLit(weights), (PortableHash.cp31uCol(t) % nb).cast("int") + 1)
-    val score = (lit(bias) +
-      aggregate(toks, lit(0.0), (acc, t) => acc + tokenWeight(t)) /
-        size(toks))
+                threshold: Double): DataFrame =
     docs.select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        score.as("qscore"))
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        scoreCol(col("text"), weights, bias).as("qscore"))
       .withColumn("keep", col("qscore") >= threshold)
-  }
 }
