@@ -129,22 +129,27 @@ object TextAnalysis {
     * monotone ranking as N/df-based IDF for per-document top-k).
     *
     * Scale shape: tf is one (doc_id, word) shuffle with map-side
-    * combine; df is a vocab-sized aggregate; the df join is word-keyed
-    * (sort-merge at corpus scale); N arrives as a broadcast 1-row
-    * crossJoin, never a driver-side collect; top-k is a bounded window
-    * per doc_id. */
+    * combine, carrying the document length in its key — len is
+    * `size(tokens)` computed MAP-SIDE before the explode (functionally
+    * dependent on doc_id, so the groups are unchanged), which removed
+    * the corpus-wide second shuffle + doc_id join-back the original
+    * formulation spent on a row-local statistic (r12); df is a
+    * vocab-sized aggregate; the df join is word-keyed (sort-merge at
+    * corpus scale); N arrives as a broadcast 1-row crossJoin, never a
+    * driver-side collect; top-k is a bounded window per doc_id. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = docs.select(col("doc_id"),
+      tokenCount(col("text")).as("len"),
       explode(tokens(col("text"))).as("word"))
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val len = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val tf = words.groupBy("doc_id", "len", "word")
+      .agg(count(lit(1)).as("tf"))
     val dfreq = words.select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast("double") / col("len") *
       col("n_docs") / col("df")
-    tf.join(len, "doc_id").join(dfreq, "word")
+    tf.join(dfreq, "word")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", score)
       .withColumn("rn", row_number().over(
@@ -280,27 +285,33 @@ object TextAnalysis {
     *    order-dependent double sum becomes an exact integer sum.
     *
     * Scale shape: the corpus-sized work is one tokenize pass feeding
-    * the per-doc length aggregate and the term-filtered tf aggregate
-    * (the `isin` filter runs map-side before any shuffle, so the tf
-    * stream carries only documents containing a query term); df and
-    * the corpus totals are term-count-sized and broadcast; the final
+    * the term-filtered tf aggregate (the `isin` filter runs map-side
+    * before any shuffle, so the tf stream carries only documents
+    * containing a query term), with the document length riding the tf
+    * key — len is `size(tokens)` computed MAP-SIDE (functionally
+    * dependent on doc_id), which removed the original formulation's
+    * corpus-wide per-doc length shuffle + doc_id join-back (r12); the
+    * corpus totals collapse straight off the docs scan (restricted to
+    * non-null text — exactly the docs the old length aggregate saw);
+    * df and the totals are term-count-sized and broadcast; the final
     * top-k is a TakeOrdered, never a full sort. */
   def bm25RawIdfTopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty && k >= 1, "need query terms and k >= 1")
-    val words = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-    val len = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    val totals = len.agg(count(lit(1)).as("n_docs"),
-      sum("len").cast("double").as("total_len"))
+    val words = docs.select(col("doc_id"),
+      tokenCount(col("text")).as("len"),
+      explode(tokens(col("text"))).as("word"))
+    val totals = docs.where(col("text").isNotNull)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).cast("double").as("total_len"))
     val tf = words.where(col("word").isin(queryTerms: _*))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "len", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     // fixed-order IEEE chain, mirrored verbatim in the oracle SQL
     val score = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
       (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) +
         lit(0.75) * col("len") * col("n_docs") / col("total_len")))
-    tf.join(len, "doc_id")
-      .join(broadcast(dfreq), "word")
+    tf.join(broadcast(dfreq), "word")
       .crossJoin(broadcast(totals))
       .withColumn("s8",
         floor(lit(100000000.0) * score + lit(0.5)).cast("long"))

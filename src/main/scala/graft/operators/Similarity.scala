@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -705,6 +705,94 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("vv").as("qvv"), col("p.id").as("list_id"))
     val cand = assignLists(v.where(col("vec_id") >= nQueries), cents, iters)
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
+        col("vv").as("cvv"), col("list_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(probes).join(cand, Seq("list_id"))
+      .withColumn("cos", ndot(col("qvec"), col("cvec")) /
+        (sqrt(col("qvv")) * sqrt(col("cvv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** Persist an IVF index: fit the coarse quantizer over the FULL
+    * embedding frame and write two parquet tables under `dir` —
+    * `centroids` (list_id, cvec, cc: ≤ [[autoNLists]]-cap metadata
+    * rows) and `postings` (vec_id, vec, vv, list_id: the corpus,
+    * clustered by list_id so each inverted list lands in few files and
+    * a probe-time `list_id` predicate prunes row groups by min/max
+    * stats). This is the index LIFECYCLE an engine needs at corpus
+    * scale: the Lloyd fit + corpus assignment (the expensive part —
+    * everything [[ivfTopK]] does except the probe join) runs ONCE and
+    * is amortized over every query batch served from the saved index;
+    * re-fitting per query batch, which is what a fused build+query
+    * operator amounts to, cannot ship. Overwrite mode: a rebuild can
+    * never serve a stale index from an earlier corpus ([[ivfTopKFromIndex]]
+    * reads whatever is on disk, so build freshness is the caller's
+    * contract — the registry query rebuilds per run).
+    *
+    * Everything stored is exact: IEEE doubles round-trip parquet
+    * bit-for-bit, so an index-served query equals the in-memory
+    * [[ivfTopK]] answer exactly (spec-pinned, and the registry query
+    * shares q_embed_ann_ivf's full Lloyd-replay oracle). Returns the
+    * fitted list count. */
+  def buildIvfIndex(emb: DataFrame, dir: String, nLists: Int = -1,
+                    iters: Int = 2, maxFitRows: Long = 4096L): Int = {
+    val spark = emb.sparkSession
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val n = v.count()
+    val nl = if (nLists > 0) nLists else autoNLists(n)
+    val cents = lloydFit(v, nl, iters, maxFitRows, n)
+    import spark.implicits._
+    cents.map { case (id, c, cc) => (id, c.toSeq, cc) }
+      .toDF("list_id", "cvec", "cc")
+      .coalesce(1) // metadata-scale: one footer beats 32 tiny files
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assignLists(v, cents, iters)
+      .select(col("vec_id"), col("vec"), col("vv"), col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    cents.size
+  }
+
+  /** Serve IVF top-k from a saved index ([[buildIvfIndex]]) — the
+    * probe-only read path: collect the centroid table (metadata-scale,
+    * the same ≤ cap-row driver footprint the fit already had), score
+    * the bounded query side against it for its nProbe lists, and
+    * equi-join probes to the postings on list_id. No fit, no corpus
+    * assignment, no corpus-wide anything except the postings scan —
+    * which prunes to the probed lists' row groups because the build
+    * clustered postings by list_id. Queries are the index's own
+    * vectors with `vec_id < nQueries` (a pushed point-lookup filter);
+    * candidates are the rest — exactly [[ivfTopK]]'s split, so the
+    * result is bit-identical to the fused operator on the same
+    * parameters (IndexedIvfSpec pins it) — with one deliberate
+    * contract narrowing: the index stores only INDEXABLE vectors
+    * (null vector / null element rows drop at build, the
+    * [[assignLists]] route-independent rule), so a null-bearing QUERY
+    * vector is absent from an index-served answer while the fused
+    * [[ivfTopK]] still scores it against probed lists with null
+    * cosines. Null-free corpora — the enforced ingest contract —
+    * are unaffected. */
+  def ivfTopKFromIndex(spark: SparkSession, dir: String, nQueries: Int,
+                       k: Int, nProbe: Int = 4): DataFrame = {
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("list_id", "cvec", "cc").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val post = spark.read.parquet(s"$dir/postings")
+    val q = post.where(col("vec_id") < nQueries)
+    val probes = q.withColumn("p",
+        explode(slice(array_sort(scoresCol(q, cents)), 1, nProbe)))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("vv").as("qvv"), col("p.id").as("list_id"))
+    val cand = post.where(col("vec_id") >= nQueries)
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
         col("vv").as("cvv"), col("list_id"))
     val w = Window.partitionBy("query_id")

@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       LshBuckets.builder))
     ext.injectFunction((
+      FunctionIdentifier("graft_ngram_max_multiplicity"),
+      new ExpressionInfo(classOf[NgramMaxMultiplicity].getName,
+        "graft_ngram_max_multiplicity"),
+      NgramMaxMultiplicity.builder))
+    ext.injectFunction((
       FunctionIdentifier("graft_centroid_scores"),
       new ExpressionInfo(classOf[CentroidScores].getName,
         "graft_centroid_scores"),

@@ -124,6 +124,41 @@ object LlmQueries {
        |        FROM m2 GROUP BY list_id)),
        |$superOracleCtes""".stripMargin
 
+  /** The complete q_embed_ann_ivf oracle (probes over the cent2
+    * quantizer, hierarchy-routed candidate assignment, cosine rank —
+    * registry parameters nQueries=5, k=5, nProbe=4 hardcoded). ONE
+    * definition shared by q_embed_ann_ivf and q_embed_ann_ivf_indexed:
+    * the indexed query must answer bit-identically from its saved
+    * parquet index, so the two oracles can never be allowed to
+    * drift. */
+  private lazy val ivfTopKOracleSql: String =
+    s"""WITH $lloydOracleCtes,
+       |probes AS (SELECT query_id, qvec, qvv, list_id FROM (
+       |    SELECT q.vec_id AS query_id, q.vec AS qvec, q.vv AS qvv,
+       |      c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY q.vv + c.cc - 2*list_dot_product(q.vec, c.cvec),
+       |                 c.list_id) AS rn
+       |    FROM (SELECT * FROM vv WHERE vec_id < 5) q
+       |    CROSS JOIN cent2 c) WHERE rn <= 4),
+       |cand AS (SELECT neighbor_id, cvec, cvv, list_id FROM (
+       |    SELECT x.vec_id AS neighbor_id, x.vec AS cvec, x.vv AS cvv,
+       |      c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY x.vv + c.cc - 2*list_dot_product(x.vec, c.cvec),
+       |                 c.list_id) AS rn
+       |    FROM (SELECT * FROM vv WHERE vec_id >= 5) x
+       |    JOIN vsup vs ON vs.vec_id = x.vec_id
+       |    JOIN hbranch br ON br.super_id = vs.super_id
+       |    JOIN cent2 c ON c.list_id = br.list_id) WHERE rn = 1),
+       |r AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+       |      list_dot_product(qvec, cvec) / (sqrt(qvv) * sqrt(cvv)) DESC,
+       |      neighbor_id) AS rank
+       |  FROM probes p JOIN cand c USING (list_id))
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Replay of [[Similarity.superQuantizer]] + the two-level corpus
     * assignment ([[Similarity.hierArgminCol]] / graft_hier_argmin):
     * super count = smallest s with s² ≥ k (integer-only); init = the
@@ -740,32 +775,25 @@ object LlmQueries {
     Q("q_embed_ann_ivf",
       (s, dir) => Similarity.ivfTopK(embeddings(s, dir), 5, 5)
         .orderBy("query_id", "rank"),
-      Some(s"""WITH $lloydOracleCtes,
-             |probes AS (SELECT query_id, qvec, qvv, list_id FROM (
-             |    SELECT q.vec_id AS query_id, q.vec AS qvec, q.vv AS qvv,
-             |      c.list_id,
-             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-             |        ORDER BY q.vv + c.cc - 2*list_dot_product(q.vec, c.cvec),
-             |                 c.list_id) AS rn
-             |    FROM (SELECT * FROM vv WHERE vec_id < 5) q
-             |    CROSS JOIN cent2 c) WHERE rn <= 4),
-             |cand AS (SELECT neighbor_id, cvec, cvv, list_id FROM (
-             |    SELECT x.vec_id AS neighbor_id, x.vec AS cvec, x.vv AS cvv,
-             |      c.list_id,
-             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
-             |        ORDER BY x.vv + c.cc - 2*list_dot_product(x.vec, c.cvec),
-             |                 c.list_id) AS rn
-             |    FROM (SELECT * FROM vv WHERE vec_id >= 5) x
-             |    JOIN vsup vs ON vs.vec_id = x.vec_id
-             |    JOIN hbranch br ON br.super_id = vs.super_id
-             |    JOIN cent2 c ON c.list_id = br.list_id) WHERE rn = 1),
-             |r AS (SELECT query_id, neighbor_id,
-             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-             |      list_dot_product(qvec, cvec) / (sqrt(qvv) * sqrt(cvv)) DESC,
-             |      neighbor_id) AS rank
-             |  FROM probes p JOIN cand c USING (list_id))
-             |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
-             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(ivfTopKOracleSql)),
+
+    // The same ANN answer served from a PERSISTED index: build writes
+    // the quantizer + list_id-clustered postings as parquet
+    // (Similarity.buildIvfIndex), serve is the probe-only read path
+    // (ivfTopKFromIndex) — the index lifecycle that amortizes the fit
+    // over every query batch at corpus scale. The storage round-trip is
+    // exact (IEEE doubles through parquet), so the oracle is the SAME
+    // full Lloyd-replay SQL as q_embed_ann_ivf — the hash match proves
+    // save → load → serve loses nothing vs the fused operator.
+    Q("q_embed_ann_ivf_indexed",
+      (s, dir) => {
+        val ix = s.conf.get("spark.sql.warehouse.dir")
+          .stripSuffix("/") + "/graft_ivf_index"
+        Similarity.buildIvfIndex(embeddings(s, dir), ix)
+        Similarity.ivfTopKFromIndex(s, ix, 5, 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfTopKOracleSql)),
 
     // Three-level (tree) IVF — the beyond-16M-vectors fit
     // (Similarity.treeFit): supers from the distributed lloydFit at
@@ -1187,20 +1215,23 @@ object LlmQueries {
     // integers (no FP accumulation): top-bigram mass, total bigrams,
     // distinct-token mass, and how many docs have a single bigram
     // exceeding 4% of their bigrams (top·25 > total — cross-multiplied,
-    // no division). Per-(doc,gram) counts are one shuffle with map-side
-    // combine; keys grow with the corpus, never with a stratum.
+    // no division). The top-bigram count never leaves its document, so
+    // it is computed ROW-LOCALLY by the native
+    // graft_ngram_max_multiplicity (plans/NgramMaxMultiplicity.scala)
+    // over the token array — the r12 reshape removed the corpus-wide
+    // explode → groupBy(doc_id, gram) shuffle + join-back of the
+    // original formulation; the only exchanges left are the 6-row lang
+    // rollup and the output ORDER BY (plan-pinned in PlanAuditSpec).
+    // total_bigrams = max(n_tokens−1, 0) by definition, also map-side.
     Q("q_text_repetition",
       (s, dir) => {
-        val base = documents(s, dir).select(col("doc_id"), col("lang"),
+        val toks = TextAnalysis.tokens(col("text"))
+        documents(s, dir).select(col("lang"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           size(TextAnalysis.tokenSet(col("text"))).cast("long").as("n_distinct"),
-          TextAnalysis.wordNgrams(col("text"), 2).as("grams"))
-        val perDoc = base
-          .select(col("doc_id"), explode(col("grams")).as("gram"))
-          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max("c").as("top_bigram"),
-            sum("c").as("total_bigrams"))
-        base.join(perDoc, Seq("doc_id"), "left")
+          graft.plans.NgramMaxMultiplicity.maxMultCol(s, toks, 2)
+            .as("top_bigram"),
+          greatest(size(toks) - 1, lit(0)).cast("long").as("total_bigrams"))
           .groupBy("lang").agg(
             count(lit(1)).as("n_docs"),
             sum(coalesce(col("top_bigram"), lit(0L))).as("sum_top_bigram"),

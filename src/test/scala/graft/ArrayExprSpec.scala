@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.plans.{CountEqual, SortedIntersectSize}
+import graft.plans.{CountEqual, NgramMaxMultiplicity, SortedIntersectSize}
 
 /** Native codegen'd graft_sorted_intersect_size / graft_count_equal:
   * registration, exact parity with the built-in/HOF formulations they
@@ -144,6 +144,60 @@ class ArrayExprSpec extends SparkSpec {
     // evaluating the expression must carry it (a CodegenFallback
     // expression would force a plain Project)
     assert("""\*\(\d+\) Project \[graft_sorted_intersect_size""".r
+      .findFirstIn(plan).isDefined, plan.take(600))
+  }
+
+  test("ngram_max_multiplicity == explode/groupBy/max on the real corpus (n=2,3)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    for (n <- Seq(2, 3)) {
+      val native = docs.select(col("doc_id"),
+        NgramMaxMultiplicity.maxMultCol(spark, col("toks"), n).as("top"))
+      val exploded = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordNgrams(col("text"), n)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_ref"))
+      val joined = native.join(exploded, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("top"),
+          coalesce(col("top_ref"), lit(0L)).as("top_ref"))
+        .as[(Long, Long, Long)].collect()
+      assert(joined.nonEmpty)
+      joined.foreach { case (id, got, want) =>
+        assert(got === want, s"doc $id n=$n") }
+    }
+  }
+
+  test("ngram_max_multiplicity: edge cases (empty, short, ties, nulls, n=1)") {
+    NgramMaxMultiplicity.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_ngram_max_multiplicity(CAST(array() AS ARRAY<STRING>), 2) AS empty2,
+        |  graft_ngram_max_multiplicity(array('a'), 2) AS short2,
+        |  graft_ngram_max_multiplicity(array('a'), 1) AS one1,
+        |  graft_ngram_max_multiplicity(array('a','b','a','b','a'), 2) AS abab,
+        |  graft_ngram_max_multiplicity(array('x','x','x','x'), 2) AS xxx,
+        |  graft_ngram_max_multiplicity(array('a','b','c'), 2) AS distinct2,
+        |  graft_ngram_max_multiplicity(CAST(NULL AS ARRAY<STRING>), 2) AS nullarr,
+        |  graft_ngram_max_multiplicity(array('a', CAST(NULL AS STRING), 'a', CAST(NULL AS STRING)), 2) AS nullelem
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) === 0L) // no tokens
+    assert(r.getLong(1) === 0L) // fewer than n tokens
+    assert(r.getLong(2) === 1L) // unigram of a single token
+    assert(r.getLong(3) === 2L) // "a b" twice, "b a" twice
+    assert(r.getLong(4) === 3L) // "x x" three times
+    assert(r.getLong(5) === 1L) // all grams distinct
+    assert(r.isNullAt(6))       // null array -> NULL
+    assert(r.getLong(7) === 2L) // ('a',NULL) twice — nulls equal only null
+  }
+
+  test("ngram_max_multiplicity stays inside whole-stage codegen") {
+    val q = spark.read.parquet(s"$sf/documents.parquet")
+      .select(NgramMaxMultiplicity
+        .maxMultCol(spark, TextAnalysis.tokens(col("text")), 2).as("top"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_ngram_max_multiplicity""".r
       .findFirstIn(plan).isDefined, plan.take(600))
   }
 }

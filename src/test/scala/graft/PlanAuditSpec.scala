@@ -163,6 +163,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size == 1, s"${exchanges.size} exchanges:\n${plan.take(1500)}")
   }
 
+  test("q_text_repetition: row-local top-bigram — no gram explode, no join, one agg exchange") {
+    val plan = executed("q_text_repetition")
+    // the r12 reshape computes the per-doc top-bigram count inside the
+    // row (graft_ngram_max_multiplicity), so the corpus-wide gram
+    // shuffle + join-back of the original formulation must not return:
+    // exchanges are the 6-row lang rollup + the output ORDER BY only
+    assert(!plan.contains("Generate explode"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size == 2, s"${exchanges.size} exchanges:\n${plan.take(1500)}")
+    assert(plan.contains("graft_ngram_max_multiplicity"), plan.take(1500))
+  }
+
+  test("q_text_tfidf: doc length rides the tf key — no doc_id-keyed join remains") {
+    val plan = executed("q_text_tfidf")
+    // len is map-side size(tokens) carried through the tf groupBy key
+    // (r12); a join keyed on doc_id means the corpus-wide length
+    // shuffle + join-back crept back in
+    assert("""Join \[doc_id""".r.findFirstIn(plan).isEmpty, plan.take(1500))
+  }
+
+  test("q_text_bm25_topk: no doc_id-keyed join; top-k is TakeOrdered") {
+    val plan = executed("q_text_bm25_topk")
+    assert("""Join \[doc_id""".r.findFirstIn(plan).isEmpty, plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   test("q_corpus_mixture: stratum counts broadcast back; no corpus-sized sort-merge") {
     val plan = executed("q_corpus_mixture")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
