@@ -36,10 +36,23 @@ object TextAnalysis {
     * scoring. */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+    wordNgramsFromTokens(tokens(text), n)
+  }
+
+  /** [[wordNgrams]] over a token-array column. Callers on a corpus-
+    * sized path MUST pass an attribute (a token array staged through
+    * its own projection), not an inline `tokens(...)` expression: the
+    * per-position lambda references the array, and an interpreted HOF
+    * re-evaluates whatever expression tree sits there PER ELEMENT — an
+    * inlined split turns gram production O(len) → O(len²) chars per
+    * document (sf100 A/B in BASELINE.md). CollapseProject keeps the
+    * staging: a non-cheap alias consumed more than once is never
+    * inlined back. */
+  def wordNgramsFromTokens(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(typedLit(Seq.empty[String]))
   }
 
@@ -128,28 +141,31 @@ object TextAnalysis {
     * independent engine reproduces every score bit-for-bit (the same
     * monotone ranking as N/df-based IDF for per-document top-k).
     *
-    * Scale shape: tf is one (doc_id, word) shuffle with map-side
-    * combine, carrying the document length in its key — len is
-    * `size(tokens)` computed MAP-SIDE before the explode (functionally
-    * dependent on doc_id, so the groups are unchanged), which removed
-    * the corpus-wide second shuffle + doc_id join-back the original
-    * formulation spent on a row-local statistic (r12); df is a
-    * vocab-sized aggregate; the df join is word-keyed (sort-merge at
-    * corpus scale); N arrives as a broadcast 1-row crossJoin, never a
-    * driver-side collect; top-k is a bounded window per doc_id. */
+    * Scale shape — the r5 three-pass form, KEPT against the "obvious"
+    * r12 improvement on measured evidence (BASELINE.md r12, ProbeTfidf
+    * in-JVM A/B at sf100: this shape 96.8 s vs ~450-540 s for every
+    * variant that rides len on the tf key): one exploded word stream
+    * feeds three narrow aggregates (tf, per-doc len, distinct df) and
+    * joins back. Re-computing the cheap map-side explode is ~5× faster
+    * on real hardware than the alternatives' wider aggregate key — the
+    * extra len shuffle carries one long per doc and is noise; df from
+    * a checkpointed tf round-trips ~400M rows through disk (449.9 s
+    * median) and its MEMORY_AND_DISK form OOM-killed an 80 g JVM. N
+    * arrives as a broadcast 1-row crossJoin, never a driver-side
+    * collect; top-k is a bounded window per doc_id (WindowGroupLimit
+    * prunes to k per group before the final exchange). */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = docs.select(col("doc_id"),
-      tokenCount(col("text")).as("len"),
       explode(tokens(col("text"))).as("word"))
-    val tf = words.groupBy("doc_id", "len", "word")
-      .agg(count(lit(1)).as("tf"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val len = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val dfreq = words.select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast("double") / col("len") *
       col("n_docs") / col("df")
-    tf.join(dfreq, "word")
+    tf.join(len, "doc_id").join(dfreq, "word")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", score)
       .withColumn("rn", row_number().over(
@@ -284,13 +300,18 @@ object TextAnalysis {
     *    per-document sum (the centroid/lm-score trick), so the
     *    order-dependent double sum becomes an exact integer sum.
     *
-    * Scale shape: the corpus-sized work is one tokenize pass feeding
+    * Scale shape: the corpus-sized work is ONE tokenize pass feeding
     * the term-filtered tf aggregate (the `isin` filter runs map-side
     * before any shuffle, so the tf stream carries only documents
     * containing a query term), with the document length riding the tf
     * key — len is `size(tokens)` computed MAP-SIDE (functionally
     * dependent on doc_id), which removed the original formulation's
-    * corpus-wide per-doc length shuffle + doc_id join-back (r12); the
+    * corpus-wide per-doc length shuffle + doc_id join-back (r12). tf
+    * is term-count × matching-docs sized — tiny — and is STAGED
+    * (localCheckpoint) because its two consumers (the df aggregate and
+    * the score projection) would otherwise each re-run the corpus
+    * tokenize+explode feeding it (the tfidfTopTerms lesson, BASELINE
+    * .md r12: pruning/key divergence defeats ReuseExchange). The
     * corpus totals collapse straight off the docs scan (restricted to
     * non-null text — exactly the docs the old length aggregate saw);
     * df and the totals are term-count-sized and broadcast; the final
@@ -305,6 +326,7 @@ object TextAnalysis {
         sum(tokenCount(col("text"))).cast("double").as("total_len"))
     val tf = words.where(col("word").isin(queryTerms: _*))
       .groupBy("doc_id", "len", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     // fixed-order IEEE chain, mirrored verbatim in the oracle SQL
     val score = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *

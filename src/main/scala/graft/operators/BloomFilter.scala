@@ -149,10 +149,16 @@ object BloomFilter {
     // shuffle costs more than wordNgrams' lambda production. A corpus
     // where positives are rare can switch to TextAnalysis.ngramStream +
     // survivor distinct (the Decontaminate.overlapReport shape).
+    // token array staged through its own projection so the gram lambda
+    // reads an attribute — see wordNgramsFromTokens' contract (an
+    // inlined split re-evaluates per gram position, O(len²)/doc)
     val bloomHits = withProbes(
       train.select(col("doc_id"), col("lang"),
-        explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
-          .as("gram")), m1)
+        TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(
+            TextAnalysis.wordNgramsFromTokens(col("_toks"), n)))
+            .as("gram")), m1)
       .withColumn("_bw", typedLit(words.toSeq))
       .where(hit(m1, k))
       .select("doc_id", "lang", "gram")

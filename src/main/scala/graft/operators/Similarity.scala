@@ -813,14 +813,26 @@ object Similarity {
     * codegen'd); `floor(x + 0.5)` instead of ROUND because both engines
     * evaluate it identically on doubles (ROUND half-even/half-up
     * differences are the repo's known parity hazard). Dequantized error
-    * is bounded by scale/254 per component (QuantizeSpec). */
+    * is bounded by scale/254 per component (QuantizeSpec).
+    *
+    * Evaluation shape (r12): the double cast and the scale are STAGED
+    * through their own projections so the quantizing lambda reads
+    * `scale` as a per-row attribute. Inlining `scale` into the lambda
+    * (the original one-select form) made the interpreted HOF re-derive
+    * the O(d) array_max — plus its transform's fresh abs-array
+    * allocation — PER ELEMENT, turning a linear map pass into O(d²)
+    * work and d array allocations per row (sf100 A/B in BASELINE.md).
+    * CollapseProject cannot undo the staging: `scale` is an expensive
+    * alias consumed twice downstream. */
   def quantizeInt8(emb: DataFrame): DataFrame = {
-    val vec = asDouble(col("embedding"))
-    val scale = greatest(array_max(transform(vec, x => abs(x))), lit(1e-30))
-    emb.select(col("vec_id"),
-      scale.as("scale"),
-      transform(vec, x => floor(x / scale * 127 + lit(0.5)).cast("int"))
-        .as("qvec"))
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30))
+          .as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"),
+          x => floor(x / col("scale") * 127 + lit(0.5)).cast("int"))
+          .as("qvec"))
   }
 
   /** Per-label centroids — the distributed mean-vector step of k-means /

@@ -1773,6 +1773,62 @@ object LlmQueries {
              |  (CAST(train_rank AS BIGINT) - 1) // 50 AS shard_id
              |FROM r ORDER BY train_rank""".stripMargin)),
 
+    // Corpus-wide line-level dedup (RefinedWeb §3.2.3 / C4: lines
+    // recurring across documents are boilerplate — removed from every
+    // doc, prose survives; operators/LineDedup.scala). The synthetic
+    // docs are single-line, so the query builds a deterministic 4-line
+    // text (the q_text_pii_redact injection pattern): a mostly-unique
+    // prose slice, a 1-in-3 shared banner, a per-lang contact line
+    // (df ≈ lang size → removed) or a 1-in-5 blank (kept), and a
+    // unique doc stamp. The oracle replays the construction and the
+    // whole dedup on the line STRINGS — verifying the engine's hashed
+    // (doc_id, pos, lh) stream end-to-end, collisions included.
+    Q("q_line_dedup",
+      (s, dir) => {
+        val t = coalesce(col("text"), lit(""))
+        val injected = documents(s, dir).select(col("doc_id"), col("lang"),
+          concat_ws("\n",
+            substring(t, 1, 60),
+            when(col("doc_id") % 3 === 0,
+              lit("subscribe to our newsletter today"))
+              .otherwise(substring(t, 61, 60)),
+            when(col("doc_id") % 5 === 0, lit(""))
+              .otherwise(concat(lit("contact us in "), col("lang"))),
+            concat(lit("doc "), col("doc_id").cast("string"))).as("text"))
+        graft.operators.LineDedup.dedupLines(injected, minDf = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH inj AS (SELECT doc_id, lang,
+             |    substr(coalesce(text, ''), 1, 60)
+             |      || chr(10) || CASE WHEN doc_id % 3 = 0
+             |        THEN 'subscribe to our newsletter today'
+             |        ELSE substr(coalesce(text, ''), 61, 60) END
+             |      || chr(10) || CASE WHEN doc_id % 5 = 0 THEN ''
+             |        ELSE 'contact us in ' || lang END
+             |      || chr(10) || 'doc ' || doc_id AS text
+             |  FROM documents),
+             |ls AS (SELECT doc_id, lang,
+             |    string_split(text, chr(10)) AS ls FROM inj),
+             |lp AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS p,
+             |    unnest(list_transform(ls, x -> trim(x))) AS line
+             |  FROM ls),
+             |cand AS (SELECT doc_id, p, line FROM lp WHERE line <> ''),
+             |hot AS (SELECT line FROM (
+             |    SELECT line, COUNT(DISTINCT doc_id) AS df
+             |    FROM cand GROUP BY line) WHERE df >= 2),
+             |rm AS (SELECT doc_id, list(p) AS rm
+             |  FROM cand JOIN hot USING (line) GROUP BY doc_id)
+             |SELECT l.doc_id, l.lang,
+             |  CAST(len(l.ls) AS BIGINT) AS n_lines,
+             |  CAST(COALESCE(len(r.rm), 0) AS BIGINT) AS n_removed,
+             |  COALESCE(array_to_string(list_transform(
+             |    list_filter(range(1, len(l.ls) + 1),
+             |      q -> NOT list_contains(COALESCE(r.rm,
+             |        CAST([] AS BIGINT[])), q)),
+             |    q -> l.ls[q]), chr(10)), '') AS cleaned_text
+             |FROM ls l LEFT JOIN rm r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Corpus-level boilerplate removal: every token covered by a word
     // 3-gram that occurs in >= 3 distinct documents is stripped and the
     // text rebuilt — the C4/RefinedWeb "shared span" pass, rewriting

@@ -29,9 +29,14 @@ object StreamDecontaminate {
     * drift would silently break the zero-false-negative guarantee. */
   def flag(docs: DataFrame, filter0: BloomFilter.Filter, n: Int): DataFrame =
     docs
+      // token array staged so the gram lambda reads an attribute, not a
+      // per-element re-evaluated split (wordNgramsFromTokens' contract)
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
       .withColumn("n_flagged_grams",
-        size(filter(array_distinct(TextAnalysis.wordNgrams(col("text"), n)),
+        size(filter(
+          array_distinct(TextAnalysis.wordNgramsFromTokens(col("_toks"), n)),
           g => filter0.contains(g))).cast("long"))
+      .drop("_toks")
       .withColumn("contaminated", col("n_flagged_grams") > 0)
 
   /** Raw-triple form; validates shape via the [[BloomFilter.Filter]]

@@ -176,18 +176,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("graft_ngram_max_multiplicity"), plan.take(1500))
   }
 
-  test("q_text_tfidf: doc length rides the tf key — no doc_id-keyed join remains") {
+  test("q_text_tfidf: the measured three-pass shape — bounded window, broadcast N, no cartesian") {
     val plan = executed("q_text_tfidf")
-    // len is map-side size(tokens) carried through the tf groupBy key
-    // (r12); a join keyed on doc_id means the corpus-wide length
-    // shuffle + join-back crept back in
-    assert("""Join \[doc_id""".r.findFirstIn(plan).isEmpty, plan.take(1500))
+    // deliberately the r5 three-aggregate form: ProbeTfidf's in-JVM
+    // sf100 A/B read 96.8 s for this shape vs ~450-540 s for every
+    // len-rides-the-tf-key variant (BASELINE.md r12) — recomputing the
+    // map-side explode beats widening the aggregate key or round-
+    // tripping a 400M-row tf through a checkpoint. Pin what makes the
+    // winner fast: the per-doc top-k is WindowGroupLimit-pruned before
+    // the final exchange, N is a 1-row broadcast (never a collect or a
+    // real cartesian), and nothing degenerates to CartesianProduct
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    val gens = "Generate explode".r.findAllIn(plan).size
+    assert(gens <= 3, s"$gens corpus explodes:\n${plan.take(1500)}")
   }
 
-  test("q_text_bm25_topk: no doc_id-keyed join; top-k is TakeOrdered") {
+  test("q_text_bm25_topk: no doc_id-keyed join; one corpus pass; top-k is TakeOrdered") {
     val plan = executed("q_text_bm25_topk")
     assert("""Join \[doc_id""".r.findFirstIn(plan).isEmpty, plan.take(1500))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    // tf is checkpoint-staged (tiny after the map-side term filter), so
+    // df and the score projection read checkpoint blocks instead of
+    // each re-running the corpus tokenize+explode; the only corpus
+    // work left in the executed plan is the totals scan (no Generate)
+    val gens = "Generate explode".r.findAllIn(plan).size
+    assert(gens == 0, s"$gens corpus explodes:\n${plan.take(1500)}")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1500))
   }
 
   test("q_corpus_mixture: stratum counts broadcast back; no corpus-sized sort-merge") {
@@ -252,6 +267,25 @@ class PlanAuditSpec extends SparkSpec {
     // gram identity through the shuffles is the 64-bit hash, never the
     // gram string: no exchange may carry a 'gram' string column
     assert(!plan.contains("gram#"), plan.take(2000))
+  }
+
+  test("q_line_dedup: no windows; line text never an attribute, so it cannot ride a shuffle") {
+    val plan = executed("q_line_dedup")
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the corpus is split ONCE (the line arrays localCheckpoint); all
+    // three consumers (frequency, removal, rebuild) re-read checkpoint
+    // blocks, never the file
+    assert(!plan.contains("FileScan"), plan.take(1500))
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(rddScans <= 3, s"$rddScans checkpoint scans:\n${plan.take(2000)}")
+    // line identity through the shuffles is the 64-bit hash built
+    // INLINE from the staged array (positions-only explode +
+    // element_at): no single-line string attribute exists anywhere in
+    // the plan, so line text structurally cannot ride an exchange
+    assert(!plan.contains("line#"), plan.take(2000))
+    assert(plan.contains("graft_tok64"), plan.take(2000))
   }
 
   test("q_domain_gate: corpus collapses to a source-sized aggregate, then re-joins") {
