@@ -105,7 +105,7 @@ object Bench {
         failed += name
         failMsg.getOrElseUpdate(name,
           s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}"
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300))
+            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(300))
         System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -169,7 +169,7 @@ object Bench {
     val shufp = spark.conf.get("spark.sql.shuffle.partitions")
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
     val config =
-      s"""{"shuffle_partitions":$shufp,"cpus":$cpus,"heap_gb":$heapGb,"single":$single,"force":"$force"}"""
+      s"""{"shuffle_partitions":$shufp,"cpus":"$cpus","heap_gb":$heapGb,"single":$single,"force":"$force"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"fail_msgs":$failMsgJson,"skipped":$skippedJson,"config":$config,"sf":"$sfDir"}"""
     val totalOnly =

@@ -38,10 +38,18 @@ object QualityClassifier {
     * can append it to a streaming frame statelessly (a join against
     * [[scoreDocs]]' projected output would be a stream-stream
     * self-join, which append mode rejects without watermarks). */
-  def scoreCol(text: Column, weights: Seq[Double], bias: Double): Column = {
+  def scoreCol(text: Column, weights: Seq[Double], bias: Double): Column =
+    scoreFromToks(TextAnalysis.tokens(text), weights, bias)
+
+  /** The same logit over an ALREADY-TOKENIZED array column. Split out
+    * so the batch path can stage the `split` once as its own projected
+    * attribute (see [[scoreDocs]]) while the streaming gate keeps the
+    * single-column [[scoreCol]] form; both run the identical per-token
+    * arithmetic, so stream/batch bit-parity
+    * (StreamQualityGateSpec) is preserved by construction. */
+  def scoreFromToks(toks: Column, weights: Seq[Double], bias: Double): Column = {
     require(weights.nonEmpty, "weights must be non-empty")
     val nb = weights.size
-    val toks = TextAnalysis.tokens(text)
     val tokenWeight: Column => Column = t =>
       element_at(typedLit(weights), (PortableHash.cp31uCol(t) % nb).cast("int") + 1)
     lit(bias) +
@@ -51,11 +59,21 @@ object QualityClassifier {
 
   /** (doc_id, n_tokens, qscore, keep) for every document; `keep` is
     * `qscore >= threshold`. `weights(b)` is the coefficient of hash
-    * bucket b; `weights.size` fixes the bucket count. */
+    * bucket b; `weights.size` fixes the bucket count.
+    *
+    * The token array is STAGED through its own projection: inlining
+    * `tokens(text)` evaluates the split in three expression positions
+    * (n_tokens, the aggregate input, the divisor) — three full-string
+    * regex splits per document. Projected as an attribute it runs
+    * once; CollapseProject does not re-inline an expensive alias
+    * referenced more than once, so the staging survives optimization
+    * (the same fix as r12's quantizeInt8/bloom interpreted-HOF
+    * stagings). */
   def scoreDocs(docs: DataFrame, weights: Seq[Double], bias: Double,
                 threshold: Double): DataFrame =
-    docs.select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-        scoreCol(col("text"), weights, bias).as("qscore"))
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        scoreFromToks(col("toks"), weights, bias).as("qscore"))
       .withColumn("keep", col("qscore") >= threshold)
 }

@@ -547,12 +547,17 @@ object Similarity {
     val ns = superCount(nLists)
     val cq = (nLists + ns - 1) / ns
 
-    val supers = lloydFit(v, ns, iters, maxFitRows, n)
-
-    // null-vv rows (null vector or null element) are excluded from the
-    // child sample HERE — loud, route-independent, the assignLists null
-    // contract; the super lloydFit above inherits lloydFit's caller-
-    // feeds-non-null contract unchanged.
+    // null-vv rows (null vector or null element) are excluded from BOTH
+    // fit stages — route-independent, the assignLists null contract. The
+    // super fit filter matters even under the ingest null-free contract:
+    // lloydFit's init sample orders by (pb, vec_id) without looking at
+    // vector content, so a sampled null row would become a null super
+    // centroid and the downstream argmin over null d2 would assign rows
+    // arbitrarily (the exact struct-ordering failure assignLists:480
+    // closed). On null-free data the filter is a no-op, so the
+    // q_embed_ann_ivf_tree oracle replay is unchanged.
+    val supers = lloydFit(v.where(col("vv").isNotNull), ns, iters,
+      maxFitRows, n)
     val fitRows = math.max(maxFitRows, 4L * nLists)
     val fit = v.where(
         Sampling.portableBucket(col("vec_id"), 7) * lit(n) <
@@ -792,7 +797,19 @@ object Similarity {
         explode(slice(array_sort(scoresCol(q, cents)), 1, nProbe)))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("vv").as("qvv"), col("p.id").as("list_id"))
-    val cand = post.where(col("vec_id") >= nQueries)
+    // The payoff of clustering postings by list_id at build time: the
+    // probed ids (driver-scale by the bounded-query contract) become a
+    // pushed `isin` predicate, so the candidate scan prunes every
+    // unprobed list's row groups by parquet min/max stats instead of
+    // reading the whole corpus and filtering at the join. The id
+    // collect is its own tiny job that re-runs the bounded query-side
+    // scan (pushed vec_id point lookup + ≤ cap-row centroid literal) —
+    // re-scanning nQueries rows is cheaper than a checkpoint and keeps
+    // the serve plan's pushed filters inspectable (IndexedIvfSpec).
+    val probedIds = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand = post.where(col("vec_id") >= nQueries &&
+        col("list_id").isin(probedIds: _*))
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
         col("vv").as("cvv"), col("list_id"))
     val w = Window.partitionBy("query_id")

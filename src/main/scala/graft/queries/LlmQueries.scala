@@ -1046,17 +1046,34 @@ object LlmQueries {
       (s, dir) => {
         val e = events(s, dir)
         // rsd 0.02 → flag at 3σ = 6% relative error, integer-compared
-        // (|approx − exact| · 100 ≤ 6 · exact avoids FP thresholds)
-        e.groupBy("event_type").agg(
-          approx_count_distinct("user_id", 0.02).as("au"),
-          approx_count_distinct("event_id", 0.02).as("ae"),
-          countDistinct(col("user_id")).as("exact_users"),
-          countDistinct(col("event_id")).as("exact_events"))
+        // (|approx − exact| · 100 ≤ 6 · exact avoids FP thresholds).
+        //
+        // Plan shape: two countDistincts over DIFFERENT columns in one
+        // aggregate make Catalyst plan an Expand ×3 — every events row
+        // tripled through the shuffle (the top sf100 registry cost at
+        // 683.6 s, r12). Instead each exact distinct runs as its own
+        // two-level pre-dedup aggregate: distinct(event_type, col) gets
+        // map-side partial dedup on the first pass (each row shuffles
+        // once, duplicates collapse before the wire), then a per-type
+        // count over the already-distinct pairs. The HLL++ sketch is
+        // duplicate-insensitive (register-max over hashed values), so
+        // approx_count_distinct over the deduped pairs is the SAME
+        // sketch as over the raw rows and rides the second pass free.
+        // The two per-type results are a handful of rows → broadcast
+        // join back together.
+        def pass(c: String, exactName: String, okName: String) =
+          e.select(col("event_type"), col(c)).distinct()
+            .groupBy("event_type").agg(
+              count(lit(1)).as(exactName),
+              approx_count_distinct(col(c), 0.02).as("a"))
+            .select(col("event_type"), col(exactName),
+              (abs(col("a") - col(exactName)) * 100 <=
+                col(exactName) * 6).as(okName))
+        pass("user_id", "exact_users", "users_ok")
+          .join(broadcast(pass("event_id", "exact_events", "events_ok")),
+            Seq("event_type"))
           .select(col("event_type"), col("exact_users"), col("exact_events"),
-            (abs(col("au") - col("exact_users")) * 100 <=
-              col("exact_users") * 6).as("users_ok"),
-            (abs(col("ae") - col("exact_events")) * 100 <=
-              col("exact_events") * 6).as("events_ok"))
+            col("users_ok"), col("events_ok"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type,

@@ -8,17 +8,41 @@ import java.io.File
   * on /tmp forever (the r11-late box note: ~35 GB of dead blockmgr
   * files starved the NEXT run's page cache and skewed its numbers).
   * This sweeps scratch dirs that are BOTH older than the current JVM's
-  * start and untouched for `minIdleMinutes` — a dir belonging to any
-  * live Spark JVM was either created after us or written recently, so
-  * the double condition never races a concurrent run (the box rule is
-  * to serialize heavy runs anyway; the idle window is belt and
-  * braces). Guarded by SPARK_GRAFT_NO_SWEEP=1. Best-effort: an
+  * start and untouched for `minIdleMinutes`. Mtime alone is NOT proof
+  * of death — reads don't update mtime, so a long-lived concurrent
+  * Spark JVM re-reading DISK_ONLY blocks it wrote >30 min ago would
+  * still look "idle". The sweep therefore also requires that NO other
+  * live java process exists on the box (checked via /proc/<pid>/comm):
+  * if one does, the sweep skips entirely rather than guess which dirs
+  * are its. Guarded by SPARK_GRAFT_NO_SWEEP=1. Best-effort: an
   * undeletable file must not abort a bench.
   */
 object Scratch {
 
+  /** True iff a java process other than this JVM is alive (Linux
+    * /proc scan; conservatively true on any read error). */
+  private def otherJavaAlive(): Boolean = {
+    val self = ProcessHandle.current().pid()
+    val proc = new File("/proc")
+    if (!proc.isDirectory) return true // unknown platform: never sweep
+    Option(proc.listFiles()).getOrElse(Array.empty).exists { d =>
+      d.getName.forall(_.isDigit) && d.getName.toLong != self && {
+        try {
+          val comm = new String(java.nio.file.Files.readAllBytes(
+            d.toPath.resolve("comm"))).trim
+          comm == "java"
+        } catch { case _: Exception => false } // raced exit: not alive
+      }
+    }
+  }
+
   def sweepStale(minIdleMinutes: Long = 30): Unit = {
     if (sys.env.get("SPARK_GRAFT_NO_SWEEP").contains("1")) return
+    if (otherJavaAlive()) {
+      System.err.println(
+        "[scratch] another java process is live — sweep skipped")
+      return
+    }
     val jvmStart = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getStartTime
     val cutoff = math.min(jvmStart,
