@@ -637,7 +637,23 @@ object Dedup {
     * shuffle.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
-                      bands: Int = 16, rows: Int = 4): DataFrame = {
+                      bands: Int = 16, rows: Int = 4): DataFrame =
+    minhashStages(docs, threshold, bands, rows).verified
+
+  /** The [[minhashLshPairs]] pipeline with its stage frames exposed —
+    * the production query is `verified`; the earlier frames exist so a
+    * probe (tools/ProbeMinhash) can time/count each stage with the
+    * exact production payload and predicates instead of a drifting
+    * re-derivation. Constructing this EAGERLY computes the signature
+    * stage (the localCheckpoint), same as the fused operator. */
+  private[graft] case class MinhashStages(
+      sigs: DataFrame,        // checkpointed (doc_id, sig, htoks, bhs)
+      candidates: DataFrame,  // canonical-occurrence pairs + payload
+      gated: DataFrame,       // + signature-agreement estimate gate
+      verified: DataFrame)    // + exact Jaccard ≥ threshold (production)
+
+  private[graft] def minhashStages(docs: DataFrame, threshold: Double,
+      bands: Int, rows: Int): MinhashStages = {
     val numPerm = bands * rows
     val sigUdf = udf { (toks: Seq[String]) => minhashSignature(toks, numPerm) }
     val bandHashUdf = udf { (sig: Seq[Long]) =>
@@ -680,25 +696,28 @@ object Dedup {
       .countEqualCol(docs.sparkSession, col("x.sig"), col("y.sig"))
     val inter = graft.plans.SortedIntersectSize
       .intersectSizeCol(docs.sparkSession, col("x.htoks"), col("y.htoks"))
-    brows.as("x").join(brows.as("y"), Seq("bucket"))
+    val candidates = brows.as("x").join(brows.as("y"), Seq("bucket"))
       .where(col("x.doc_id") < col("y.doc_id"))
       // canonical occurrence: a pair is in every shared band's bucket;
       // keep only its FIRST shared band, so each unique pair is
       // evaluated exactly once — dedup with ~bands compares, no shuffle
       .where(shiftright(col("bucket"), 56).cast("int") === firstShared)
-      // signature-agreement estimate (matching components / numPerm, an
-      // unbiased J estimator) prunes pairs well below the threshold
-      // before the exact token-set intersection runs. The slack (0.15)
-      // keeps estimator variance from dropping true pairs
-      // (property-tested in LlmOperatorsSpec); the final filter is
-      // EXACT Jaccard, so precision is unaffected.
+    // signature-agreement estimate (matching components / numPerm, an
+    // unbiased J estimator) prunes pairs well below the threshold
+    // before the exact token-set intersection runs. The slack (0.15)
+    // keeps estimator variance from dropping true pairs
+    // (property-tested in LlmOperatorsSpec); the final filter is
+    // EXACT Jaccard, so precision is unaffected.
+    val gated = candidates
       .where(estMatches >= lit(math.max(0.0, threshold - 0.15) * numPerm))
+    val verified = gated
       .withColumn("inter", inter)
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("x.htoks")) + size(col("y.htoks")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("jaccard"))
+    MinhashStages(sigs, candidates, gated, verified)
   }
 
   /** 64-bit SimHash over the word set (unweighted votes). */

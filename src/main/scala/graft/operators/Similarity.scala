@@ -823,6 +823,173 @@ object Similarity {
         col("neighbor_id"))
   }
 
+  /** Incrementally append NEW vectors to a saved index ([[buildIvfIndex]])
+    * WITHOUT a refit — the path a streaming ingest chain
+    * (StreamQualityGate → index) needs at scale, where re-running the
+    * Lloyd fit + full-corpus assignment per arriving batch cannot ship.
+    * The SAVED quantizer (centroids parquet) assigns the new vectors —
+    * `iters` must equal the build's value (default 2 both places): the
+    * assignment hierarchy ([[hierArgminCol]]'s super fit) is itself
+    * derived from the centroids with `iters` Lloyd rounds, so a
+    * mismatch would route borderline vectors differently than the
+    * build did. New postings land as additional list_id-clustered
+    * parquet files (append mode — existing files untouched, so a
+    * concurrent reader never sees a partial overwrite).
+    *
+    * Idempotency: a vec_id already present in the index is REJECTED
+    * fail-fast (the keyed-MERGE dup-source-key precedent) — a
+    * redelivered batch must not double-insert postings, and silently
+    * skipping would hide an id-allocation bug upstream. Returns the
+    * number of postings appended (null-vv rows drop, the
+    * [[assignLists]] contract). */
+  def appendToIvfIndex(emb: DataFrame, dir: String, iters: Int = 2): Long = {
+    val spark = emb.sparkSession
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("list_id", "cvec", "cc").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val dups = spark.read.parquet(s"$dir/postings").select("vec_id")
+      .join(v.select("vec_id"), "vec_id").limit(5)
+      .collect().map(_.getLong(0))
+    require(dups.isEmpty,
+      s"appendToIvfIndex: vec_ids already indexed (re-delivery?): " +
+        dups.mkString(", "))
+    val rows = assignLists(v, cents, iters)
+      .select(col("vec_id"), col("vec"), col("vv"), col("list_id"))
+      .repartition(col("list_id"))
+      .localCheckpoint() // one computation feeds both the write + count
+    rows.write.mode("append").parquet(s"$dir/postings")
+    rows.count()
+  }
+
+  /** int8-compressed IVF index — the 100 TB SERVING shape, where the
+    * index is the dominant stored artifact: same Lloyd fit and corpus
+    * assignment as [[buildIvfIndex]], but the stored postings carry the
+    * [[quantizeInt8]] representation (per-vector max-abs scale,
+    * components floor(x/scale·127+0.5) ∈ [-127,127]) plus the EXACT
+    * norm² (one double — so the cosine denominator at serve time is
+    * exact and only the dot is approximated). Full-precision vectors
+    * are NOT duplicated into the index; they stay in the source table,
+    * which the serve path touches only for the top-`rerankK` re-rank
+    * fetch ([[ivfTopKFromIndexInt8]]). Parquet bit-packs the small ints,
+    * so the stored postings shrink roughly toward 1 byte/component
+    * (measured in BASELINE.md) and the serve-time scan/shuffle moves
+    * int32 instead of float64.
+    *
+    * Every stored value is exact integer/double arithmetic, so a
+    * DuckDB oracle replays the whole build+serve chain bit-for-bit
+    * (q_embed_ann_ivf_int8). Returns the fitted list count. */
+  def buildIvfIndexInt8(emb: DataFrame, dir: String, nLists: Int = -1,
+                        iters: Int = 2, maxFitRows: Long = 4096L): Int = {
+    val spark = emb.sparkSession
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val n = v.count()
+    val nl = if (nLists > 0) nLists else autoNLists(n)
+    val cents = lloydFit(v, nl, iters, maxFitRows, n)
+    import spark.implicits._
+    cents.map { case (id, c, cc) => (id, c.toSeq, cc) }
+      .toDF("list_id", "cvec", "cc")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // scale STAGED as its own projected attribute (the r12
+    // interpreted-HOF rule — inlined into the quantizing lambda it
+    // would re-run the O(d) array_max per element); it stays staged
+    // because it is consumed twice (output column + lambda).
+    assignLists(v, cents, iters)
+      .select(col("vec_id"), col("vec"), col("vv"), col("list_id"))
+      .withColumn("scale",
+        greatest(array_max(transform(col("vec"), x => abs(x))), lit(1e-30)))
+      .select(col("vec_id"), col("vv"), col("list_id"), col("scale"),
+        transform(col("vec"),
+          x => floor(x / col("scale") * 127 + lit(0.5)).cast("int"))
+          .as("q8"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").parquet(s"$dir/postings_q")
+    cents.size
+  }
+
+  /** Serve IVF top-k from an int8 index ([[buildIvfIndexInt8]]) with
+    * full-precision re-rank — the ADC (asymmetric distance
+    * computation) serving shape:
+    *
+    *  1. probe: full-precision QUERY vectors (from the source frame —
+    *     the index has no exact vectors) score the collected centroid
+    *     table for their nProbe lists; the probed list ids push down
+    *     into the postings_q scan as an `isin` ([[ivfTopKFromIndex]]'s
+    *     row-group pruning).
+    *  2. approximate scoring: per candidate,
+    *     `ascore = scale/127 · graft_dot_id(qvec, q8) / sqrt(cvv)` —
+    *     the codegen'd int×double dot ([[graft.plans.DotIntDouble]]; a
+    *     zip_with/transform spelling would allocate per scored pair),
+    *     dequantization folded into one scalar multiply, denominator
+    *     EXACT from the stored norm² (the query's own norm is constant
+    *     within a ranking and drops out). Top `rerankK` per query
+    *     survive, ties (ascore desc, neighbor_id).
+    *  3. re-rank: the survivors (nQueries · rerankK rows — checkpointed
+    *     so stage 2 runs once) fetch their full-precision vectors from
+    *     the SOURCE by a collected-id `isin` pushdown + broadcast join,
+    *     and exact cosine ranks the final top-k with [[ivfTopK]]'s tie
+    *     rule.
+    *
+    * With rerankK ≥ the per-query candidate count this is bit-identical
+    * to [[ivfTopKFromIndex]] (every candidate is exactly re-scored);
+    * at practical rerankK the int8 ordering decides which candidates
+    * reach the exact stage — IndexedIvfSpec pins both regimes.
+    * Deterministic end-to-end; q_embed_ann_ivf_int8 replays the full
+    * chain in DuckDB. */
+  def ivfTopKFromIndexInt8(spark: SparkSession, dir: String,
+      emb: DataFrame, nQueries: Int, k: Int, nProbe: Int = 4,
+      rerankK: Int = 64): DataFrame = {
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+    val ndotId = graft.plans.DotIntDouble.dotIdCol(spark, _: Column, _: Column)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("list_id", "cvec", "cc").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val q = v.where(col("vec_id") < nQueries && col("vv").isNotNull)
+    val probes = q.withColumn("p",
+        explode(slice(array_sort(scoresCol(q, cents)), 1, nProbe)))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("vv").as("qvv"), col("p.id").as("list_id"))
+    val probedIds = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand = spark.read.parquet(s"$dir/postings_q")
+      .where(col("vec_id") >= nQueries &&
+        col("list_id").isin(probedIds: _*))
+      .select(col("vec_id").as("neighbor_id"), col("q8"), col("scale"),
+        col("vv").as("cvv"), col("list_id"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(desc("ascore"), asc("neighbor_id"))
+    val sel = broadcast(probes).join(cand, Seq("list_id"))
+      .withColumn("ascore", col("scale") / 127 *
+        ndotId(col("qvec"), col("q8")) / sqrt(col("cvv")))
+      .withColumn("ar", row_number().over(wA))
+      .where(col("ar") <= rerankK)
+      .select(col("query_id"), col("qvec"), col("qvv"), col("neighbor_id"))
+      .localCheckpoint() // nQueries·rerankK rows; approx stage runs once
+    val rerankIds = sel.select("neighbor_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val exact = v.where(col("vec_id").isin(rerankIds: _*))
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
+        col("vv").as("cvv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(sel).join(exact, Seq("neighbor_id"))
+      .withColumn("cos", ndot(col("qvec"), col("cvec")) /
+        (sqrt(col("qvv")) * sqrt(col("cvv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max |component|, q_i = floor(v_i / scale · 127 + 0.5) ∈
     * [-127, 127] — the 4× storage/bandwidth reduction step for an

@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CentroidScores].getName,
         "graft_centroid_scores"),
       CentroidScores.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_id"),
+      new ExpressionInfo(classOf[DotIntDouble].getName, "graft_dot_id"),
+      DotIntDouble.builder))
   }
 }

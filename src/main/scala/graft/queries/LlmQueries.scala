@@ -159,6 +159,61 @@ object LlmQueries {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q_embed_ann_ivf_int8's oracle: the [[ivfTopKOracleSql]] build
+    * chain (same fit, same probes, same hierarchy-routed candidate
+    * assignment) with the int8 ADC serving tail — candidates are
+    * quantized with the q_embed_quantize_int8 arithmetic
+    * (scale = max-abs ∨ 1e-30, floor(x/scale·127+0.5)), approximately
+    * scored `scale/127 · dot(qvec, int8) / sqrt(cvv)` (the
+    * graft_dot_id fold replayed as list_dot_product over the
+    * exactly-cast ints), the top rerankK=32 per query (ties ascore
+    * DESC, neighbor_id) re-ranked by exact cosine. Registry
+    * parameters nQueries=5, k=5, nProbe=4, rerankK=32 hardcoded. */
+  private lazy val ivfInt8OracleSql: String =
+    s"""WITH $lloydOracleCtes,
+       |probes AS (SELECT query_id, qvec, qvv, list_id FROM (
+       |    SELECT q.vec_id AS query_id, q.vec AS qvec, q.vv AS qvv,
+       |      c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY q.vv + c.cc - 2*list_dot_product(q.vec, c.cvec),
+       |                 c.list_id) AS rn
+       |    FROM (SELECT * FROM vv WHERE vec_id < 5) q
+       |    CROSS JOIN cent2 c) WHERE rn <= 4),
+       |cand AS (SELECT neighbor_id, cvec, cvv, list_id FROM (
+       |    SELECT x.vec_id AS neighbor_id, x.vec AS cvec, x.vv AS cvv,
+       |      c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY x.vv + c.cc - 2*list_dot_product(x.vec, c.cvec),
+       |                 c.list_id) AS rn
+       |    FROM (SELECT * FROM vv WHERE vec_id >= 5) x
+       |    JOIN vsup vs ON vs.vec_id = x.vec_id
+       |    JOIN hbranch br ON br.super_id = vs.super_id
+       |    JOIN cent2 c ON c.list_id = br.list_id) WHERE rn = 1),
+       |cs AS (SELECT neighbor_id, cvec, cvv, list_id,
+       |    GREATEST(list_max(list_transform(cvec, x -> abs(x))), 1e-30)
+       |      AS scale
+       |  FROM cand),
+       |cq AS (SELECT neighbor_id, cvv, list_id, scale,
+       |    list_transform(cvec,
+       |      x -> CAST(floor(x / scale * 127 + 0.5) AS INTEGER)) AS q8
+       |  FROM cs),
+       |sel AS (SELECT query_id, qvec, qvv, neighbor_id FROM (
+       |    SELECT p.query_id, p.qvec, p.qvv, c.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |        c.scale / 127 * list_dot_product(p.qvec,
+       |          list_transform(c.q8, x -> CAST(x AS DOUBLE)))
+       |          / sqrt(c.cvv) DESC,
+       |        c.neighbor_id) AS ar
+       |    FROM probes p JOIN cq c USING (list_id)) WHERE ar <= 32),
+       |r AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+       |      list_dot_product(s.qvec, e.vec) / (sqrt(s.qvv) * sqrt(e.vv))
+       |        DESC,
+       |      neighbor_id) AS rank
+       |  FROM sel s JOIN vv e ON e.vec_id = s.neighbor_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Replay of [[Similarity.superQuantizer]] + the two-level corpus
     * assignment ([[Similarity.hierArgminCol]] / graft_hier_argmin):
     * super count = smallest s with s² ≥ k (integer-only); init = the
@@ -794,6 +849,26 @@ object LlmQueries {
           .orderBy("query_id", "rank")
       },
       Some(ivfTopKOracleSql)),
+
+    // int8-compressed index serving (ADC + full-precision re-rank):
+    // same fit/assignment as q_embed_ann_ivf_indexed, but the stored
+    // postings are int8 (Similarity.buildIvfIndexInt8) and the
+    // candidate ranking runs on the quantized dot with rerankK=32
+    // exact-re-scored survivors — small enough that the int8 ordering
+    // is DECISIVE (thousands of candidates per query at sf0.01), so
+    // the oracle exercises the quantized arithmetic, not just the
+    // exact tail. Full bit-exact DuckDB replay (every step is integer
+    // or order-pinned double arithmetic).
+    Q("q_embed_ann_ivf_int8",
+      (s, dir) => {
+        val ix = s.conf.get("spark.sql.warehouse.dir")
+          .stripSuffix("/") + "/graft_ivf_index_q8"
+        Similarity.buildIvfIndexInt8(embeddings(s, dir), ix)
+        Similarity.ivfTopKFromIndexInt8(s, ix, embeddings(s, dir), 5, 5,
+            nProbe = 4, rerankK = 32)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfInt8OracleSql)),
 
     // Three-level (tree) IVF — the beyond-16M-vectors fit
     // (Similarity.treeFit): supers from the distributed lloydFit at

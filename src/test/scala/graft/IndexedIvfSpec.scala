@@ -66,4 +66,75 @@ class IndexedIvfSpec extends SparkSpec {
       .agg(max("nf")).collect().head.getLong(0)
     assert(spread === 1L)
   }
+
+  test("append(A, B) serves exactly like build(A∪B) with the SAME quantizer " +
+    "(fit on A), and re-append is rejected") {
+    val dir = ixDir + "_append"
+    val total = emb.count()
+    val cut = total / 2
+    val a = emb.where(col("vec_id") < cut)
+    val b = emb.where(col("vec_id") >= cut)
+    Similarity.buildIvfIndex(a, dir) // quantizer fit on A only
+    val appended = Similarity.appendToIvfIndex(b, dir)
+    assert(appended === total - cut)
+    // postings after append == assignment of the FULL corpus with the
+    // saved (A-fit) quantizer: same (vec_id, list_id) set
+    val post = spark.read.parquet(s"$dir/postings")
+    assert(post.count() === total)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("list_id", "cvec", "cc").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: org.apache.spark.sql.Column, _: org.apache.spark.sql.Column)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val expected = Similarity.assignLists(v, cents, 2)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = post.select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === expected)
+    // serve sanity over the merged index
+    val served = Similarity.ivfTopKFromIndex(spark, dir, 5, 5)
+    assert(served.count() > 0L)
+    // idempotency: a redelivered batch fails fast, postings unchanged
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(b, dir)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    assert(spark.read.parquet(s"$dir/postings").count() === total)
+  }
+
+  test("int8 index: generous rerank is bit-identical to the full-precision " +
+    "index; practical rerank holds recall") {
+    val dir = ixDir + "_int8"
+    Similarity.buildIvfIndex(emb, ixDir)
+    Similarity.buildIvfIndexInt8(emb, dir)
+    val full = Similarity.ivfTopKFromIndex(spark, ixDir, 5, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    // rerankK ≥ any per-query candidate count → every candidate is
+    // exactly re-scored → identical answer (int8 only gates entry)
+    val generous = Similarity
+      .ivfTopKFromIndexInt8(spark, dir, emb, 5, 5, rerankK = emb.count().toInt)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(generous === full)
+    // practical rerank: int8 ordering decides who reaches the exact
+    // stage; recall@5 vs the full-precision index answer stays high
+    val practical = Similarity
+      .ivfTopKFromIndexInt8(spark, dir, emb, 5, 5, rerankK = 32)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullSet = full.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = practical.intersect(fullSet).size.toDouble / fullSet.size
+    assert(recall >= 0.9, s"int8+rerank recall@5 = $recall")
+    // storage contract: quantized postings are materially smaller than
+    // the float64 postings of the same corpus
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(new java.net.URI(p).getPath)
+      Option(d.listFiles()).getOrElse(Array.empty).map(_.length()).sum
+    }
+    val fp = dirBytes(s"$ixDir/postings")
+    val qp = dirBytes(s"$dir/postings_q")
+    assert(qp.toDouble / fp < 0.5, s"int8 postings $qp vs float $fp bytes")
+  }
 }
