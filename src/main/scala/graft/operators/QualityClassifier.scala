@@ -46,8 +46,25 @@ object QualityClassifier {
     * attribute (see [[scoreDocs]]) while the streaming gate keeps the
     * single-column [[scoreCol]] form; both run the identical per-token
     * arithmetic, so stream/batch bit-parity
-    * (StreamQualityGateSpec) is preserved by construction. */
+    * (StreamQualityGateSpec) is preserved by construction.
+    *
+    * Evaluation: the fused native [[graft.plans.QualityScore]]
+    * expression (one codegen loop — UTF-8 byte hash per token, direct
+    * weight lookup, ordered sum). The composable spelling it replaced
+    * (interpreted `aggregate` whose body re-entered the per-character
+    * `cp31uCol` fold — a regex split + array allocation PER TOKEN) is
+    * kept bit-parity-pinned in QualityClassifierSpec; the r13 sf100
+    * A/B that motivated the fusion is in BASELINE.md. */
   def scoreFromToks(toks: Column, weights: Seq[Double], bias: Double): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    graft.plans.QualityScore.scoreCol(toks, typedLit(weights), lit(bias))
+  }
+
+  /** The pre-r13 composable spelling — retained ONLY as the parity
+    * reference for QualityClassifierSpec (it is the arithmetic the
+    * DuckDB oracle replays, written in built-ins). */
+  private[graft] def scoreFromToksComposable(toks: Column,
+      weights: Seq[Double], bias: Double): Column = {
     require(weights.nonEmpty, "weights must be non-empty")
     val nb = weights.size
     val tokenWeight: Column => Column = t =>
@@ -70,10 +87,12 @@ object QualityClassifier {
     * (the same fix as r12's quantizeInt8/bloom interpreted-HOF
     * stagings). */
   def scoreDocs(docs: DataFrame, weights: Seq[Double], bias: Double,
-                threshold: Double): DataFrame =
+                threshold: Double): DataFrame = {
+    graft.plans.QualityScore.register(docs.sparkSession)
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         scoreFromToks(col("toks"), weights, bias).as("qscore"))
       .withColumn("keep", col("qscore") >= threshold)
+  }
 }

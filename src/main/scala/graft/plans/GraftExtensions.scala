@@ -62,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_id"),
       new ExpressionInfo(classOf[DotIntDouble].getName, "graft_dot_id"),
       DotIntDouble.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_qscore"),
+      new ExpressionInfo(classOf[QualityScore].getName, "graft_qscore"),
+      QualityScore.builder))
   }
 }

@@ -26,11 +26,13 @@ object StreamQualityGate {
     * [[QualityClassifier.scoreDocs]] — that would be a stream-stream
     * self-join, rejected in append mode without watermarks. */
   def score(docs: DataFrame, weights: Seq[Double], bias: Double,
-            threshold: Double): DataFrame =
+            threshold: Double): DataFrame = {
+    graft.plans.QualityScore.register(docs.sparkSession)
     docs
       .withColumn("qscore",
         QualityClassifier.scoreCol(col("text"), weights, bias))
       .withColumn("keep", col("qscore") >= threshold)
+  }
 
   /** Only the documents the model clears — the stream that continues
     * into the corpus. */

@@ -59,6 +59,32 @@ class QualityClassifierSpec extends SparkSpec {
     sc.foreach { case (_, q, k) => assert(k == (q >= 0.0)) }
   }
 
+  test("fused graft_qscore == composable aggregate/cp31uCol spelling bit-for-bit " +
+    "(ASCII, multibyte, supplementary-plane, single-token, repeated)") {
+    import org.apache.spark.sql.functions.{col, split, trim}
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "héllo wörld ünïcode"),
+      (3L, "emoji 😀 mixed 😀x tail"),
+      (4L, "single"),
+      (5L, ("tok " * 200).trim),
+      (6L, "")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val fused = docs.select(col("doc_id"),
+        QualityClassifier.scoreFromToks(col("toks"), weights, 0.3).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val composable = docs.select(col("doc_id"),
+        QualityClassifier.scoreFromToksComposable(col("toks"), weights, 0.3).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(fused.keySet == composable.keySet)
+    fused.foreach { case (id, q) =>
+      assert(java.lang.Double.doubleToLongBits(q) ==
+        java.lang.Double.doubleToLongBits(composable(id)),
+        s"doc $id: fused $q vs composable ${composable(id)}")
+    }
+  }
+
   test("plan is one map pass: zero exchanges, no UDF") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val plan = QualityClassifier.scoreDocs(docs, weights, 0.1, 0.0)
