@@ -653,7 +653,7 @@ object Dedup {
       verified: DataFrame)    // + exact Jaccard ≥ threshold (production)
 
   private[graft] def minhashStages(docs: DataFrame, threshold: Double,
-      bands: Int, rows: Int): MinhashStages = {
+      bands: Int, rows: Int, boundedVerify: Boolean = true): MinhashStages = {
     val numPerm = bands * rows
     val sigUdf = udf { (toks: Seq[String]) => minhashSignature(toks, numPerm) }
     val bandHashUdf = udf { (sig: Seq[Long]) =>
@@ -694,8 +694,21 @@ object Dedup {
       .firstEqualIndexCol(docs.sparkSession, col("x.bhs"), col("y.bhs"))
     val estMatches = graft.plans.CountEqual
       .countEqualCol(docs.sparkSession, col("x.sig"), col("y.sig"))
-    val inter = graft.plans.SortedIntersectSize
-      .intersectSizeCol(docs.sparkSession, col("x.htoks"), col("y.htoks"))
+    // verify kernel: the threshold-bounded merge aborts a pair the
+    // moment `matched + min(remaining)` can no longer reach the minimal
+    // passing intersection (which also kills size-mismatched pairs at
+    // step 0, before a single comparison). It returns -1 for provably-
+    // failing pairs, whose jaccard then computes negative and fails the
+    // SAME `>= threshold` filter — the emitted row set is identical to
+    // the plain kernel's (property-pinned in LlmOperatorsSpec; r13
+    // sf100 A/B in BASELINE.md). `boundedVerify = false` keeps the
+    // plain kernel reachable for that A/B (ProbeMinhash `verify`).
+    val inter =
+      if (boundedVerify) graft.plans.SortedIntersectBounded
+        .boundedCol(docs.sparkSession, col("x.htoks"), col("y.htoks"),
+          lit(threshold))
+      else graft.plans.SortedIntersectSize
+        .intersectSizeCol(docs.sparkSession, col("x.htoks"), col("y.htoks"))
     val candidates = brows.as("x").join(brows.as("y"), Seq("bucket"))
       .where(col("x.doc_id") < col("y.doc_id"))
       // canonical occurrence: a pair is in every shared band's bucket;

@@ -66,5 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_qscore"),
       new ExpressionInfo(classOf[QualityScore].getName, "graft_qscore"),
       QualityScore.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_bounded"),
+      new ExpressionInfo(classOf[SortedIntersectBounded].getName,
+        "graft_sorted_intersect_bounded"),
+      SortedIntersectBounded.builder))
   }
 }

@@ -73,6 +73,21 @@ object ProbeMinhash {
         sink(s"full ordered run $i",
           full.verified.orderBy("doc_a", "doc_b"))
       }
+    } else if (mode == "verify") {
+      // A/B of the exact-verify kernel (plain merge vs threshold-bounded
+      // early-abort), full production pipeline each way, one JVM
+      val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+      def sink(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[probeminhash] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      (1 to runs).foreach { i =>
+        sink(s"verified plain   run $i", graft.operators.Dedup
+          .minhashStages(docs, 0.9, bands, rows, boundedVerify = false).verified)
+        sink(s"verified bounded run $i", graft.operators.Dedup
+          .minhashStages(docs, 0.9, bands, rows, boundedVerify = true).verified)
+      }
     } else { // legacy bucket-cardinality dump
       val numPerm = bands * rows
       val sigUdf = udf { (toks: Seq[String]) =>

@@ -28,6 +28,52 @@ class ArrayExprSpec extends SparkSpec {
     both.foreach { case (n, b) => assert(n === b) }
   }
 
+  test("bounded intersect: abort is exactly 'would fail the fp Jaccard filter' " +
+    "on corpus pairs at several thresholds") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        array_sort(transform(TextAnalysis.tokenSet(col("text")),
+          t => graft.plans.Tok64Hash.tok64Col(spark, t))).as("toks"))
+    val a = toks.select(col("doc_id").as("ia"), col("toks").as("ta"))
+    val b = toks.select(col("doc_id").as("ib"), col("toks").as("tb"))
+    val pairs = a.crossJoin(b).where(col("ia") < col("ib")).limit(20000)
+      .localCheckpoint()
+    for (t <- Seq(0.3, 0.9, 0.99)) {
+      val rows = pairs.select(
+          graft.plans.SortedIntersectSize
+            .intersectSizeCol(spark, col("ta"), col("tb")).as("plain"),
+          graft.plans.SortedIntersectBounded
+            .boundedCol(spark, col("ta"), col("tb"), lit(t)).as("bounded"),
+          size(col("ta")).as("na"), size(col("tb")).as("nb"))
+        .as[(Int, Int, Int, Int)].collect()
+      assert(rows.length === 20000)
+      var aborted = 0
+      rows.foreach { case (plain, bounded, na, nb) =>
+        val j = plain.toDouble / (na + nb - plain)
+        if (bounded == -1) { aborted += 1; assert(!(j >= t),
+          s"aborted a passing pair: plain=$plain na=$na nb=$nb t=$t") }
+        else assert(bounded === plain)
+        if (j >= t) assert(bounded === plain)
+      }
+      // at a high threshold on a mostly-dissimilar sample the abort
+      // must actually fire (otherwise the kernel is dead code)
+      if (t >= 0.9) assert(aborted > 0)
+    }
+  }
+
+  test("bounded intersect: minhash pipeline emits the identical pair set " +
+    "with either verify kernel") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bounded = graft.operators.Dedup
+      .minhashStages(docs, 0.9, 8, 8, boundedVerify = true).verified
+      .collect().map(_.toString).sorted.toSeq
+    val plain = graft.operators.Dedup
+      .minhashStages(docs, 0.9, 8, 8, boundedVerify = false).verified
+      .collect().map(_.toString).sorted.toSeq
+    assert(bounded.nonEmpty)
+    assert(bounded === plain)
+  }
+
   test("sorted intersect size: empty/disjoint/null edge cases") {
     SortedIntersectSize.register(spark)
     val r = spark.sql(
