@@ -199,7 +199,17 @@ object TextAnalysis {
     * it. Overflow bound: c2·1e8 < 2⁶³ requires every single bigram's
     * count < ~9.2·10¹⁰ — top bigrams ("of the" ≈ 0.3% of English text)
     * cross that near ~3·10¹³ training tokens, so beyond ~10¹³ tokens
-    * lower the 1e8 scale factor a decade per decade of corpus. */
+    * lower the 1e8 scale factor a decade per decade of corpus.
+    *
+    * Scaling evidence (r13, BASELINE.md / ProbeLmZipf): the r10–r12
+    * "GenScale vocabulary diversification erodes the collapse" theory
+    * for the apparent sf10→sf100 superlinearity was measured and
+    * REFUTED — the suffix corpus's vocabulary is small (3.1k unigrams
+    * at sf10; collapse 285×) and a Zipf(1) fixed-50k-vocab corpus of
+    * the same size (collapse 4.2×) runs in the SAME warm time
+    * (10.1 vs 11.2 s): the operator is distribution-robust, and the
+    * historical ratio was the warm-median-vs-in-bench-single mode
+    * mismatch, closed by the r13 matched-mode measurements. */
   def bigramLmScores(docs: DataFrame): DataFrame = {
     // occurrences collapse to per-(doc, bigram) counts FIRST (map-side
     // combine on the explode output), so every downstream join moves
