@@ -274,17 +274,31 @@ object TextAnalysis {
   /** PII redaction patterns — the CCNet/Dolma-style curation scrub.
     * Deliberately RE2-compatible (no backrefs, no lookaround) so the
     * DuckDB oracle evaluates the IDENTICAL patterns: emails, IPv4
-    * addresses, and international-format phone numbers. */
-  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val phonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+    * addresses, and international-format phone numbers. Single source
+    * of truth is [[graft.plans.PiiRedact]] (the fused expression);
+    * re-exported here so the oracle SQL interpolation sites and the
+    * composable form can never drift from the native kernel. */
+  val emailPattern: String = graft.plans.PiiRedact.emailPattern
+  val ipv4Pattern: String = graft.plans.PiiRedact.ipv4Pattern
+  val phonePattern: String = graft.plans.PiiRedact.phonePattern
+
+  /** Fused PII scrub: one native expression returning
+    * struct(redacted_text, n_emails, n_ips, n_phones) — one UTF-8
+    * decode and 3–5 matcher scans per document instead of the six
+    * independent regexp expressions of [[redactPii]] (r13 A/B in
+    * BASELINE.md). Bit parity with the composable form pinned in
+    * PiiRedactSpec; same contract: counts on the original text,
+    * replacements sequential email → ip → phone. */
+  def redactPiiFused(text: Column): Column =
+    graft.plans.PiiRedact.redactCol(text)
 
   /** Redact PII spans to fixed placeholder tokens, appending per-kind
     * match counts. Order matters and is part of the contract: emails
     * first (an email's host part could otherwise be half-eaten by the
     * IP pattern), then IPs, then phones — counts are measured on the
     * original text, replacements applied sequentially. Pure codegen'd
-    * column expressions; one map-side pass, no shuffle. */
+    * column expressions; one map-side pass, no shuffle. Composable
+    * reference form — the hot path uses [[redactPiiFused]]. */
   def redactPii(text: Column): (Column, Column, Column, Column) = {
     val nEmail = size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long")
     val nIp = size(regexp_extract_all(text, lit(ipv4Pattern), lit(0))).cast("long")

@@ -71,5 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectBounded].getName,
         "graft_sorted_intersect_bounded"),
       SortedIntersectBounded.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pii_redact"),
+      new ExpressionInfo(classOf[PiiRedact].getName, "graft_pii_redact"),
+      PiiRedact.builder))
   }
 }

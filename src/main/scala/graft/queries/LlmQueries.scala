@@ -559,9 +559,17 @@ object LlmQueries {
               lit("@example.com or +1-555-0199 host 10."),
               (col("doc_id") % 256).cast("string"), lit(".0.1")))
             .otherwise(col("text")).as("text"))
-        val (red, ne, ni, np) = TextAnalysis.redactPii(col("text"))
-        injected.select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"),
-            np.as("n_phones"), red.as("redacted_text"))
+        // r13: the fused native kernel — one UTF-8 decode + 3-5 matcher
+        // scans per doc vs six regexp expressions (six decodes + three
+        // count-only match arrays). Parity with the composable form is
+        // pinned in PiiRedactSpec; the struct rides its own projection
+        // so the four field reads share ONE evaluation (CollapseProject
+        // won't re-inline a non-cheap alias used 4x).
+        graft.plans.PiiRedact.register(s)
+        injected.withColumn("pii", TextAnalysis.redactPiiFused(col("text")))
+          .select(col("doc_id"), col("pii.n_emails").as("n_emails"),
+            col("pii.n_ips").as("n_ips"), col("pii.n_phones").as("n_phones"),
+            col("pii.redacted_text").as("redacted_text"))
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id,

@@ -43,6 +43,24 @@ object ProbeR13AB {
           col("exact_events") * 6).as("events_ok"))
       .orderBy("event_type")
 
+  /** r12 shape of q_text_pii_redact: six independent regexp
+    * expressions (three size(regexp_extract_all) counts on the
+    * original + three nested regexp_replace) — six UTF-8 decodes of
+    * every document per row. */
+  def piiOld(docs: DataFrame): DataFrame = {
+    val injected = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" reach me at user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or +1-555-0199 host 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0.1")))
+        .otherwise(col("text")).as("text"))
+    val (red, ne, ni, np) = TextAnalysis.redactPii(col("text"))
+    injected.select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"),
+        np.as("n_phones"), red.as("redacted_text"))
+      .orderBy("doc_id")
+  }
+
   /** r12 shape: tokens(text) inlined in three expression positions. */
   def qualityOld(docs: DataFrame): DataFrame = {
     val weights = (0 until 256).map(b =>
@@ -101,6 +119,24 @@ object ProbeR13AB {
       (1 to runs).foreach { i =>
         time(s"quality_old(3xsplit) run $i", qualityOld(docs))
         time(s"quality_new(staged) run $i", qualityNew)
+      }
+    }
+    if (which == "pii") {
+      def piiNew = graft.SparkEntry.queries("q_text_pii_redact")(spark, sfDir)
+      // full-output equality at oracle scale (exceptAll both ways +
+      // count): cheap below sf1, and PiiRedactSpec pins the adversarial
+      // edge cases; at sf10/sf100 the unchanged DuckDB oracle is the
+      // parity witness, so skip the in-probe join.
+      if (sfDir.contains("sf0")) {
+        val old = piiOld(docs)
+        require(old.count() == piiNew.count() &&
+          old.exceptAll(piiNew).isEmpty && piiNew.exceptAll(old).isEmpty,
+          "pii old/new diverge")
+        println("[prober13] pii equality OK")
+      }
+      (1 to runs).foreach { i =>
+        time(s"pii_old(6xregex) run $i", piiOld(docs))
+        time(s"pii_new(fused) run $i", piiNew)
       }
     }
     spark.stop()
