@@ -75,5 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_pii_redact"),
       new ExpressionInfo(classOf[PiiRedact].getName, "graft_pii_redact"),
       PiiRedact.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bucket_search"),
+      new ExpressionInfo(classOf[BucketSearch].getName, "graft_bucket_search"),
+      BucketSearch.builder))
   }
 }

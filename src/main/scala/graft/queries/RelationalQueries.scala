@@ -842,5 +842,51 @@ object RelationalQueries {
              |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----- physical layout -------------------------------------------------
+
+    // Z-order clustered rewrite (operators/Layout.scala) + a 2-D box
+    // query over the rewritten table — the rewrite IS the operator
+    // under test (like q_bucketed_join writing its bucketed tables):
+    // quantile-bucket bit interleave, one repartitionByRange(zval)
+    // shuffle, per-file zval sort. Layout is physically invisible in
+    // the result, so the oracle runs the identical box aggregate on
+    // the ORIGINAL table — row preservation + filter correctness in
+    // one hash; the pruning payoff is pinned in LayoutSpec (files
+    // touched + scan numOutputRows vs a single-column sort) and
+    // measured at scale in BASELINE.md. Box bounds derive from exact
+    // maxes (floor-div on non-negative keys — both engines identical);
+    // the 2-row max collect is metadata-scale.
+    Q("q_layout_zorder",
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        val src = li(s, dir).select(cols.map(col): _*)
+        val out = s.conf.get("spark.sql.warehouse.dir")
+          .stripSuffix("/") + "/graft_zorder_lineitem"
+        graft.operators.Layout.zorderWrite(src,
+          Seq("l_orderkey", "l_partkey"), out, nFiles = 32)
+        val mx = src.agg(max("l_orderkey"), max("l_partkey")).head()
+        val (mo, mp) = (mx.getLong(0), mx.getLong(1))
+        s.read.parquet(out)
+          .where(col("l_orderkey").between(mo / 4, mo / 2) &&
+            col("l_partkey").between(mp / 4, mp / 2))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_quantity")).as("qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH b AS (SELECT max(l_orderkey) // 4 AS olo,
+              |    max(l_orderkey) // 2 AS ohi,
+              |    max(l_partkey) // 4 AS plo, max(l_partkey) // 2 AS phi
+              |  FROM lineitem)
+              |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+              |  ${sqlDsum("l_quantity")} AS qty,
+              |  ${sqlDsum("l_extendedprice")} AS revenue
+              |FROM lineitem, b
+              |WHERE l_orderkey BETWEEN olo AND ohi
+              |  AND l_partkey BETWEEN plo AND phi
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
   )
 }
