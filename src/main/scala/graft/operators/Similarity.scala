@@ -63,6 +63,68 @@ object Similarity {
         col("neighbor_id"))
   }
 
+  /** 1-bit ANN: coarse Hamming scan over packed sign signatures
+    * ([[graft.plans.SignPack]]) + exact cosine re-rank of the top
+    * `rerankK`. Same output shape and determinism contract as
+    * [[exactTopK]] (approximate in RECALL only — every step is
+    * deterministic, so the DuckDB oracle replays it fully; the pack is
+    * an implementation detail the oracle replays as its definition,
+    * sign-disagreement count ≡ popcount(xor)).
+    *
+    * The 100 TB shape: the corpus-sized scan reads ⌈d/64⌉ longs per
+    * vector (64× smaller than the float64 work of [[exactTopK]], 32×
+    * smaller than the stored float32 column) and scores d/64
+    * xor+popcount word ops per pair; the bounded query side broadcasts;
+    * the coarse rank ≤ rerankK filter is a WindowGroupLimit (map-side
+    * partial top-k before the narrow (query_id, neighbor_id, ham)
+    * stream shuffles); full-precision vectors are touched only for the
+    * nQueries·rerankK re-rank fetch, whose collected id list pushes
+    * into the fetch scan as an `isin` (the [[ivfTopKFromIndexInt8]]
+    * rerank precedent — driver-scale, documented). */
+  def hammingTopK(emb: DataFrame, nQueries: Int, k: Int,
+                  rerankK: Int = 48): DataFrame = {
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    val spark = emb.sparkSession
+    graft.plans.SignPack.register(spark)
+    graft.plans.Hamming.register(spark)
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+    val sigs = emb.select(col("vec_id"),
+      graft.plans.SignPack.packCol(asDouble(col("embedding"))).as("sig"))
+    val q = sigs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val c = sigs.where(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("sig").as("csig"))
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(asc("ham"), asc("neighbor_id"))
+    // tiny (nQueries·rerankK rows); staged because two consumers (the
+    // id collect + the re-rank join) must not re-run the coarse scan
+    val cand = c.crossJoin(broadcast(q))
+      .withColumn("ham", graft.plans.Hamming.distCol(col("qsig"), col("csig")))
+      .withColumn("crank", row_number().over(wCoarse))
+      .where(col("crank") <= rerankK)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val candIds = cand.select("neighbor_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("nrm", sqrt(ndot(col("vec"), col("vec"))))
+    val qv = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"))
+    val cv = v.where(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cand.join(broadcast(cv), "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cos",
+        ndot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: nt tables × nb bits, dim
     * components each, from a fixed-seed LCG (no RNG state — stable across
     * runs/executors). */

@@ -79,5 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bucket_search"),
       new ExpressionInfo(classOf[BucketSearch].getName, "graft_bucket_search"),
       BucketSearch.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sign_pack"),
+      new ExpressionInfo(classOf[SignPack].getName, "graft_sign_pack"),
+      SignPack.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[Hamming].getName, "graft_hamming"),
+      Hamming.builder))
   }
 }

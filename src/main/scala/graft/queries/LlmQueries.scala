@@ -775,6 +775,86 @@ object LlmQueries {
              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // 1-bit (sign) quantization: the third rung of the compression
+    // ladder (float → int8 → 1 bit). The oracle rebuilds each packed
+    // 64-bit word as an MSB-first HUGEINT fold over the sign bits and
+    // re-signs to BIGINT (the fmix64 precedent) — generic over d via
+    // the nested comprehension, COALESCE padding the last word.
+    Q("q_embed_quantize_binary",
+      (s, dir) => {
+        graft.plans.SignPack.register(s)
+        // the compare harness can't hash array cells (the int8-quantize
+        // precedent), so the signature rides out as scalar witnesses:
+        // the first word verbatim (bit-exact packing), the word count,
+        // and the total popcount across all words. sig staged through
+        // its own projection (non-cheap alias read 3x).
+        embeddings(s, dir).where(col("embedding").isNotNull)
+          .withColumn("sig", graft.plans.SignPack.packCol(
+            col("embedding").cast("array<double>")))
+          .select(col("vec_id"),
+            element_at(col("sig"), 1).as("sig_w0"),
+            size(col("sig")).cast("long").as("n_words"),
+            aggregate(col("sig"), lit(0L),
+              (a, w) => a + bit_count(w)).as("popcnt"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |w AS (SELECT vec_id,
+             |    [ list_reduce(
+             |        list_prepend(CAST(0 AS HUGEINT),
+             |          [CASE WHEN COALESCE(vec[wi*64 + j] > 0, false)
+             |                THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+             |           FOR j IN range(64, 0, -1)]),
+             |        (h, b) -> h * 2 + b)
+             |      FOR wi IN range(0, (len(vec) + 63) // 64) ] AS uwords
+             |  FROM v),
+             |sg AS (SELECT vec_id,
+             |    [CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+             |          THEN u - CAST(18446744073709551616 AS HUGEINT)
+             |          ELSE u END AS BIGINT) FOR u IN uwords] AS sig
+             |  FROM w)
+             |SELECT vec_id, sig[1] AS sig_w0,
+             |  CAST(len(sig) AS BIGINT) AS n_words,
+             |  CAST(list_sum(list_transform(sig, w -> bit_count(w)))
+             |    AS BIGINT) AS popcnt
+             |FROM sg ORDER BY vec_id""".stripMargin)),
+
+    // 1-bit ANN: coarse Hamming top-rerankK over the packed signatures
+    // (the corpus scan reads 1/32 the bytes of the float column), exact
+    // cosine re-rank of the survivors. Deterministic end to end, so the
+    // oracle replays it fully — Hamming by its DEFINITION (count of
+    // sign disagreements ≡ popcount of the packed xor), then the same
+    // ordered-fold cosine re-rank as q_embed_knn_exact. Registry
+    // parameters nQueries=5, k=5, rerankK=48.
+    Q("q_embed_ann_hamming",
+      (s, dir) => Similarity.hammingTopK(embeddings(s, dir), 5, 5, 48)
+        .orderBy("query_id", "rank"),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neighbor_id, vec AS cvec FROM v WHERE vec_id >= 5),
+             |h AS (SELECT query_id, neighbor_id, qvec, cvec,
+             |    len(list_filter(range(1, len(qvec) + 1),
+             |      i -> (qvec[i] > 0) != (cvec[i] > 0))) AS ham
+             |  FROM q CROSS JOIN c),
+             |cand AS (SELECT query_id, neighbor_id, qvec, cvec FROM (
+             |    SELECT query_id, neighbor_id, qvec, cvec,
+             |      ROW_NUMBER() OVER (PARTITION BY query_id
+             |        ORDER BY ham, neighbor_id) AS crank
+             |    FROM h) WHERE crank <= 48),
+             |rr AS (SELECT query_id, neighbor_id,
+             |    list_dot_product(qvec, cvec) /
+             |      (sqrt(list_dot_product(qvec, qvec)) *
+             |       sqrt(list_dot_product(cvec, cvec))) AS cos
+             |  FROM cand)
+             |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+             |FROM (
+             |  SELECT query_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // The hyperplane-LSH ANN is "approximate" only in RECALL — its
     // output is fully deterministic (fixed-seed LCG hyperplanes, fixed-
     // order IEEE dot products), so it gets a complete oracle: the

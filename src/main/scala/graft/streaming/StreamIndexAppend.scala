@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Similarity
+
+/** Streaming ingest into a persisted IVF index — the tail of the
+  * ingest chain ([[StreamQualityGate]] admits documents, their
+  * embeddings flow here): each micro-batch of new vectors is assigned
+  * by the SAVED quantizer ([[Similarity.appendToIvfIndex]] — no refit,
+  * no full-corpus reassignment) and appended as list_id-clustered
+  * posting files, so the served index grows continuously while
+  * [[Similarity.ivfTopKFromIndex]] keeps answering from the same dir.
+  *
+  * Replay contract (foreachBatch redelivers a batch after a crash):
+  *  - a CLEAN replay — every vec_id of the batch already indexed — is
+  *    a no-op (returns 0 appended), so the stream converges instead of
+  *    crashing on the append's duplicate rail;
+  *  - a PARTIAL overlap fails loudly: it means the previous attempt
+  *    died between task commits, and silently re-appending would
+  *    double-insert the committed subset. The recovery is compaction
+  *    (rebuild or drop the partial files), which must be a human
+  *    decision — the keyed-MERGE dup-source-key precedent.
+  *
+  * Scale note, stated not hidden: the replay probe joins the batch's
+  * ids (broadcast — a micro-batch is small by definition) against one
+  * scan of the postings' vec_id column. At real index scale the rail
+  * should be O(metadata) — e.g. a monotone vec_id high-water mark in
+  * the index meta — but that requires an id-allocation contract the
+  * demo corpus doesn't have; the scan form is correct at any scale,
+  * just not free.
+  */
+object StreamIndexAppend {
+
+  /** One micro-batch: append `batch` (vec_id, embedding) to the index
+    * at `dir`, no-op on clean replay, loud on partial overlap.
+    * Returns postings appended (0 for a replay). */
+  def appendBatch(batch: DataFrame, dir: String, iters: Int = 2): Long = {
+    val spark = batch.sparkSession
+    val ids = batch.select("vec_id")
+    val n = ids.count()
+    if (n == 0) return 0L
+    val present = spark.read.parquet(s"$dir/postings").select("vec_id")
+      .join(broadcast(ids), "vec_id").count()
+    if (present == n) return 0L // clean replay: converge, don't crash
+    require(present == 0L,
+      s"StreamIndexAppend: partial overlap — $present of $n batch vec_ids " +
+        "already indexed (crashed append?); compact the index before resuming")
+    Similarity.appendToIvfIndex(batch, dir, iters)
+  }
+
+  /** The foreachBatch writer: attach to a streaming embeddings frame
+    * and start(). Caller sets trigger/checkpoint (the house pattern —
+    * see StreamIndexAppendSpec / IncrementalSpec). */
+  def writer(emb: DataFrame, dir: String,
+             iters: Int = 2): DataStreamWriter[Row] =
+    emb.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        appendBatch(b.toDF(), dir, iters)
+        ()
+      }
+}
