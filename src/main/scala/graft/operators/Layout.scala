@@ -47,8 +47,11 @@ object Layout {
   /** Double order-embedding of a layout column, or a loud failure. */
   private def numericDomain(c: Column, dt: DataType): Column = dt match {
     case _: NumericType | BooleanType => c.cast("double")
+    // NTZ→LTZ uses the session zone (UTC in every entry point) —
+    // order-preserving, which is all a bucket embedding needs; LTZ
+    // casts to epoch-seconds double directly (NTZ does not)
     case DateType | TimestampType | TimestampNTZType =>
-      c.cast("timestamp_ntz").cast("double")
+      c.cast("timestamp").cast("double")
     case t => throw new IllegalArgumentException(
       s"zorder column has unsupported type $t (numeric/boolean/date/timestamp)")
   }

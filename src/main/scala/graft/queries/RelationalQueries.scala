@@ -854,23 +854,36 @@ object RelationalQueries {
     // the ORIGINAL table — row preservation + filter correctness in
     // one hash; the pruning payoff is pinned in LayoutSpec (files
     // touched + scan numOutputRows vs a single-column sort) and
-    // measured at scale in BASELINE.md. Box bounds derive from exact
-    // maxes (floor-div on non-negative keys — both engines identical);
-    // the 2-row max collect is metadata-scale.
+    // measured at sf10 in BASELINE.md. Dimensions: l_orderkey
+    // (exact-max floor-div bounds — identical in both engines) ×
+    // l_shipdate (fixed literal year — the TIME dimension, which
+    // GenScale replication does NOT stride, so the pair stays
+    // independent at every SF; l_partkey rides the same replica
+    // stride as l_orderkey at scale and would make the box degenerate
+    // — measured in BASELINE.md r13). The 1-row max collect is
+    // metadata-scale.
     Q("q_layout_zorder",
       (s, dir) => {
-        val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
-          "l_extendedprice", "l_returnflag")
-        val src = li(s, dir).select(cols.map(col): _*)
+        // the time dimension is stored as DATE: the corpus's shipdates
+        // are all midnight (lossless), and two reader-side findings
+        // (ProbeZorder, BASELINE.md r13) make the type choice part of
+        // the layout design — (a) an LTZ literal against the NTZ
+        // column casts the COLUMN and un-pushes the filter; (b) even
+        // PUSHED TimestampNTZ predicates never row-group-skip in this
+        // Spark build, while INT32 DATE stats skip cleanly
+        val src = li(s, dir).select(col("l_orderkey"),
+          col("l_shipdate").cast("date").as("l_shipdate"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
         val out = s.conf.get("spark.sql.warehouse.dir")
           .stripSuffix("/") + "/graft_zorder_lineitem"
         graft.operators.Layout.zorderWrite(src,
-          Seq("l_orderkey", "l_partkey"), out, nFiles = 32)
-        val mx = src.agg(max("l_orderkey"), max("l_partkey")).head()
-        val (mo, mp) = (mx.getLong(0), mx.getLong(1))
+          Seq("l_orderkey", "l_shipdate"), out, nFiles = 32)
+        val mo = src.agg(max("l_orderkey")).head().getLong(0)
         s.read.parquet(out)
           .where(col("l_orderkey").between(mo / 4, mo / 2) &&
-            col("l_partkey").between(mp / 4, mp / 2))
+            col("l_shipdate").between(
+              lit("1996-01-01").cast("date"),
+              lit("1996-12-31").cast("date")))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_items"),
             dsum(col("l_quantity")).as("qty"),
@@ -878,15 +891,14 @@ object RelationalQueries {
           .orderBy("l_returnflag")
       },
       Some(s"""WITH b AS (SELECT max(l_orderkey) // 4 AS olo,
-              |    max(l_orderkey) // 2 AS ohi,
-              |    max(l_partkey) // 4 AS plo, max(l_partkey) // 2 AS phi
-              |  FROM lineitem)
+              |    max(l_orderkey) // 2 AS ohi FROM lineitem)
               |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
               |  ${sqlDsum("l_quantity")} AS qty,
               |  ${sqlDsum("l_extendedprice")} AS revenue
               |FROM lineitem, b
               |WHERE l_orderkey BETWEEN olo AND ohi
-              |  AND l_partkey BETWEEN plo AND phi
+              |  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+              |    AND DATE '1996-12-31'
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
   )
 }

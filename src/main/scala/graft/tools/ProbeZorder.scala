@@ -9,22 +9,32 @@ import graft.operators.Layout
 
 /** At-scale A/B for the Z-order layout operator (operators/Layout
   * .scala): writes lineitem twice to scratch — Z-ordered on
-  * (l_orderkey, l_partkey) vs range-sorted on l_orderkey alone, same
+  * (l_orderkey, l_shipdate) vs range-sorted on l_orderkey alone, same
   * file count — then drives two pruning workloads over both layouts
   * in ONE JVM (the ProbeTfidf discipline):
   *
-  *  - `partkey slice`: a ~1.5 % l_partkey range with l_orderkey
-  *    unconstrained — the query a single-column sort CANNOT serve;
-  *  - `2-D box`: the q_layout_zorder box (1/16 of the key plane) —
-  *    selective on both dimensions, where even the sorted layout
-  *    prunes on orderkey and z-order must still win or tie.
+  *  - `shipdate slice`: one year of the ~7-year range with l_orderkey
+  *    unconstrained — the query a single-column orderkey sort CANNOT
+  *    serve;
+  *  - `2-D box`: the q_layout_zorder box (orderkey quartile × one
+  *    year) — selective on both dimensions, where the sorted layout
+  *    prunes on orderkey too and z-order must win or tie.
+  *
+  * Why shipdate and not l_partkey: GenScale replication strides EVERY
+  * key by replica, so at sf10+ l_orderkey↔l_partkey correlate at
+  * 0.9999 cross-replica and a single-key sort accidentally serves
+  * both (measured: the first probe cut showed partkey slices touching
+  * 9/256 linear files). Time is not strided — corr(l_orderkey,
+  * l_shipdate) = −1e−5 at sf10 — so the 2-D independence the operator
+  * exists for actually holds, at every SF.
   *
   * Per (layout, workload): files holding matches (locality), the
-  * scan's numOutputRows (row groups the pushed filter could NOT
-  * prune — the realized-IO witness), and the noop-forced wall time
-  * of the filtered scan, RUNS×. Both probes are scan→filter→project
-  * with no exchange, so no AQE wrapper hides the scan node (the
-  * adaptive fallback is handled anyway).
+  * scan's numOutputRows (rows the pushed filter could NOT prune at
+  * the row-group level — the realized-IO witness), and wall time.
+  * Forced via queryExecution.toRdd.count() so the metrics belong to
+  * the very plan that executed (a .write re-plans in its own
+  * QueryExecution and leaves the probed plan's metrics at zero —
+  * the first cut's bug).
   *
   * Usage:
   *   SPARK_GRAFT_SF_DIR=testdata-sf10 SPARK_DRIVER_MEM=80g \
@@ -58,10 +68,16 @@ object ProbeZorder {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+    // time dimension stored as DATE (lossless here — all shipdates are
+    // midnight): pushed TimestampNTZ predicates never row-group-skip
+    // in this Spark build (first-cut finding: scanRows stayed 60M with
+    // the filter PUSHED), while INT32 DATE stats skip cleanly
+    val cols = Seq("l_orderkey", "l_shipdate", "l_quantity",
       "l_extendedprice", "l_returnflag")
     val li = graft.queries.Tables.lineitem(spark, sfDir)
-      .select(cols.map(col): _*)
+      .select(col("l_orderkey"),
+        col("l_shipdate").cast("date").as("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
     val zDir = s"$scratch/z"
     val lDir = s"$scratch/linear"
 
@@ -72,8 +88,8 @@ object ProbeZorder {
       r
     }
 
-    timed(s"write zorder(l_orderkey,l_partkey) nFiles=$nFiles") {
-      Layout.zorderWrite(li, Seq("l_orderkey", "l_partkey"), zDir, nFiles)
+    timed(s"write zorder(l_orderkey,l_shipdate) nFiles=$nFiles") {
+      Layout.zorderWrite(li, Seq("l_orderkey", "l_shipdate"), zDir, nFiles)
     }
     timed(s"write linear(l_orderkey) nFiles=$nFiles") {
       li.repartitionByRange(nFiles, col("l_orderkey"))
@@ -81,17 +97,16 @@ object ProbeZorder {
         .write.mode("overwrite").parquet(lDir)
     }
 
-    val mx = li.agg(max("l_orderkey"), max("l_partkey")).head()
-    val (mo, mp) = (mx.getLong(0), mx.getLong(1))
+    val mo = li.agg(max("l_orderkey")).head().getLong(0)
     val total = li.count()
-    println(s"[probez] rows=$total mo=$mo mp=$mp")
+    println(s"[probez] rows=$total mo=$mo")
 
+    def year(y: Int): Column = col("l_shipdate").between(
+      lit(s"$y-01-01").cast("date"), lit(s"$y-12-31").cast("date"))
     val workloads: Seq[(String, Column)] = Seq(
-      ("partkey_slice(~1.5%)",
-        col("l_partkey").between(mp / 4, mp / 4 + mp / 64)),
-      ("box_2d(1/16)",
-        col("l_orderkey").between(mo / 4, mo / 2) &&
-          col("l_partkey").between(mp / 4, mp / 2)))
+      ("shipdate_slice(1996)", year(1996)),
+      ("box_2d(okeyQ2 x 1996)",
+        col("l_orderkey").between(mo / 4, mo / 2) && year(1996)))
 
     for ((wname, pred) <- workloads; (lname, dir) <- Seq(("zorder", zDir),
         ("linear", lDir))) {
@@ -102,9 +117,10 @@ object ProbeZorder {
       (1 to runs).foreach { i =>
         val q = t.where(pred).select(cols.map(col): _*)
         val t0 = System.nanoTime()
-        q.write.format("noop").mode("overwrite").save()
+        val n = q.queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[probez] $wname/$lname run $i: $dt%.2f s scanRows=${scanOutputRows(q)}")
+        println(f"[probez] $wname/$lname run $i: $dt%.2f s " +
+          s"scanRows=${scanOutputRows(q)} out=$n")
       }
     }
     spark.stop()
