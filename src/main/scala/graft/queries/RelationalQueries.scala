@@ -876,8 +876,14 @@ object RelationalQueries {
           col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
         val out = s.conf.get("spark.sql.warehouse.dir")
           .stripSuffix("/") + "/graft_zorder_lineitem"
+        // file count rides the session's shuffle parallelism: a fixed
+        // 32 serialized the sf100 write into 32 sort-and-write tasks
+        // (BenchOne r13: 587.8 s median; the A/B after this change is
+        // recorded in BASELINE.md) — at real scale the rewrite wants
+        // one file per curve slice per write slot
+        val nf = s.conf.get("spark.sql.shuffle.partitions").toInt.max(32)
         graft.operators.Layout.zorderWrite(src,
-          Seq("l_orderkey", "l_shipdate"), out, nFiles = 32)
+          Seq("l_orderkey", "l_shipdate"), out, nFiles = nf)
         val mo = src.agg(max("l_orderkey")).head().getLong(0)
         s.read.parquet(out)
           .where(col("l_orderkey").between(mo / 4, mo / 2) &&
