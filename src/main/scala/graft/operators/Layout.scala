@@ -66,11 +66,12 @@ object Layout {
     }: _*)
     val nB = 1 << bits
     val probs = (1 until nB).map(_.toDouble / nB).toArray
-    cols.indices.map { i =>
-      // approxQuantile ignores nulls; an all-null column yields no
-      // boundaries → every row buckets to 0, still a valid layout
-      keyed.stat.approxQuantile(s"__zk$i", probs, relErr)
-    }
+    // approxQuantile ignores nulls; an all-null column yields no
+    // boundaries → every row buckets to 0, still a valid layout. The
+    // multi-column overload fits every sketch in ONE corpus scan.
+    keyed.stat
+      .approxQuantile(cols.indices.map(i => s"__zk$i").toArray, probs, relErr)
+      .toSeq
   }
 
   /** Interleave `bits` low bits of each bucket id onto the Z-curve:
@@ -107,6 +108,9 @@ object Layout {
     require(cols.size * bits <= 62,
       s"${cols.size} cols x $bits bits exceeds the 62-bit z-value")
     require(nFiles >= 1, "nFiles must be >= 1")
+    require(!df.columns.contains("__zval"),
+      "zorderWrite: input already has a __zval column — withColumn would " +
+        "silently overwrite it and write the curve value out as user data")
     BucketSearch.register(df.sparkSession)
     val bnds = fitBoundaries(df, cols, bits, relErr)
     val out = df.columns.map(col)
@@ -116,6 +120,27 @@ object Layout {
       .select(out: _*)
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** Epoch-long order-embedding for a TIMESTAMP key that must also be
+    * the written table's PRUNABLE predicate column. TimestampNTZ
+    * row-group min/max skipping is dead reader-side in this Spark
+    * (BASELINE.md r13 — the layout clusters perfectly but the scan
+    * reads every row group anyway), and the DATE downcast workaround
+    * loses sub-day resolution. INT64 stats DO prune, so a
+    * second-granularity time key is materialized as this column before
+    * [[zorderWrite]] and range-queried THROUGH it:
+    *
+    * {{{
+    * val t = df.withColumn("ts_s", Layout.epochLong(col("ts")))
+    * Layout.zorderWrite(t, Seq("x", "ts_s"), dir, nFiles)
+    * spark.read.parquet(dir).where(col("ts_s").between(lo, hi))
+    * }}}
+    *
+    * Seconds granularity (the long cast truncates toward negative
+    * infinity for pre-epoch values exactly like unix_timestamp); for
+    * sub-second keys use `unix_micros(col)` upstream — any monotone
+    * integer embedding works as a layout dimension. */
+  def epochLong(c: Column): Column = c.cast("timestamp").cast("long")
 
   /** Diagnostic: how many distinct files hold rows matching `pred` —
     * the locality witness the LayoutSpec/probe assertions use (with

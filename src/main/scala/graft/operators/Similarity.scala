@@ -898,6 +898,21 @@ object Similarity {
     * parquet files (append mode — existing files untouched, so a
     * concurrent reader never sees a partial overwrite).
     *
+    * Concurrent-reader contract (pinned by StreamIndexAppendSpec):
+    * SINGLE WRITER, snapshot-by-listing readers. Existing posting
+    * files are immutable — an append only ADDS files, each becoming
+    * visible atomically via the committer's rename (in-flight
+    * `_temporary`/dot files are invisible to parquet listings) — so a
+    * reader concurrent with an append never sees a torn FILE; it sees
+    * the pre-append index or a file-prefix of the new batch, both of
+    * which serve complete answers over the vectors they contain.
+    * BATCH-level visibility is NOT atomic: all-or-nothing appearance
+    * of a whole append would need a manifest/Delta log, which the
+    * plain-parquet harness contract documents out of scope (the
+    * io/Tables replaceWhere/MERGE precedent). Concurrent WRITERS are
+    * undefined behavior — serialize appends (the streaming tail's
+    * foreachBatch already does).
+    *
     * Idempotency: a vec_id already present in the index is REJECTED
     * fail-fast (the keyed-MERGE dup-source-key precedent) — a
     * redelivered batch must not double-insert postings, and silently
@@ -962,6 +977,11 @@ object Similarity {
     // interpreted-HOF rule — inlined into the quantizing lambda it
     // would re-run the O(d) array_max per element); it stays staged
     // because it is consumed twice (output column + lambda).
+    // `sig` (the ⌈d/64⌉-long sign pack) rides along: ~1/4 the size of
+    // q8, it is the funnel's coarse tier ([[ivfTopKFromIndexFunnel]]),
+    // and parquet column pruning keeps the plain int8 serve path from
+    // ever reading it.
+    graft.plans.SignPack.register(spark)
     assignLists(v, cents, iters)
       .select(col("vec_id"), col("vec"), col("vv"), col("list_id"))
       .withColumn("scale",
@@ -969,7 +989,8 @@ object Similarity {
       .select(col("vec_id"), col("vv"), col("list_id"), col("scale"),
         transform(col("vec"),
           x => floor(x / col("scale") * 127 + lit(0.5)).cast("int"))
-          .as("q8"))
+          .as("q8"),
+        graft.plans.SignPack.packCol(col("vec")).as("sig"))
       .repartition(col("list_id"))
       .write.mode("overwrite").parquet(s"$dir/postings_q")
     cents.size
@@ -1036,6 +1057,104 @@ object Similarity {
       .where(col("ar") <= rerankK)
       .select(col("query_id"), col("qvec"), col("qvv"), col("neighbor_id"))
       .localCheckpoint() // nQueries·rerankK rows; approx stage runs once
+    val rerankIds = sel.select("neighbor_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val exact = v.where(col("vec_id").isin(rerankIds: _*))
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
+        col("vv").as("cvv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(sel).join(exact, Seq("neighbor_id"))
+      .withColumn("cos", ndot(col("qvec"), col("cvec")) /
+        (sqrt(col("qvv")) * sqrt(col("cvv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** Three-tier funnel serve from an int8 index ([[buildIvfIndexInt8]])
+    * — the full 100 TB serving shape, composing every compression tier
+    * the index stores:
+    *
+    *  1. coarse (1-bit): over the probed lists, scan ONLY
+    *     (vec_id, list_id, sig) — the sign-pack column is ~32× smaller
+    *     than the source float column and 4× smaller than q8 — and rank
+    *     candidates by Hamming distance to the query's own sign pack
+    *     (codegen'd popcount-of-xor, [[graft.plans.Hamming]]); top
+    *     `coarseK` per query survive (ties ham asc, neighbor_id asc).
+    *  2. ADC (int8): the survivors' (q8, scale, cvv) are fetched by a
+    *     pushed id `isin` (nQueries·coarseK ids — driver-scale by the
+    *     bounded-query contract) and approximately scored
+    *     `scale/127 · graft_dot_id(qvec, q8) / sqrt(cvv)`; top
+    *     `rerankK` per query survive (ties ascore desc, neighbor_id).
+    *  3. exact: the [[ivfTopKFromIndexInt8]] re-rank tail — survivors
+    *     fetch full-precision vectors from the SOURCE frame and exact
+    *     cosine ranks the final top-k.
+    *
+    * Parity ladder (IndexedIvfSpec pins both rungs): with coarseK ≥
+    * every per-query candidate count the coarse tier passes everything
+    * through and the answer is bit-identical to [[ivfTopKFromIndexInt8]]
+    * at the same rerankK; with BOTH caps generous it equals
+    * [[ivfTopKFromIndex]]. At practical caps each tier's ordering is
+    * decisive. Deterministic end-to-end (Hamming ≡ count of sign
+    * disagreements, replayable without the packed representation), so
+    * q_embed_ann_funnel replays the whole chain in DuckDB. */
+  def ivfTopKFromIndexFunnel(spark: SparkSession, dir: String,
+      emb: DataFrame, nQueries: Int, k: Int, nProbe: Int = 4,
+      coarseK: Int = 64, rerankK: Int = 32): DataFrame = {
+    require(coarseK >= rerankK,
+      s"coarseK ($coarseK) must be >= rerankK ($rerankK)")
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    graft.plans.SignPack.register(spark)
+    graft.plans.Hamming.register(spark)
+    val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
+    val ndotId = graft.plans.DotIntDouble.dotIdCol(spark, _: Column, _: Column)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("list_id", "cvec", "cc").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("vv", ndot(col("vec"), col("vec")))
+    val q = v.where(col("vec_id") < nQueries && col("vv").isNotNull)
+    val probes = q.withColumn("p",
+        explode(slice(array_sort(scoresCol(q, cents)), 1, nProbe)))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("vv").as("qvv"),
+        graft.plans.SignPack.packCol(col("vec")).as("qsig"),
+        col("p.id").as("list_id"))
+    val probedIds = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val post = spark.read.parquet(s"$dir/postings_q")
+    // tier 1: the corpus-sized scan touches only the sig column of the
+    // probed lists' row groups (pushed isin + parquet column pruning)
+    val coarse = post.where(col("vec_id") >= nQueries &&
+        col("list_id").isin(probedIds: _*))
+      .select(col("vec_id").as("neighbor_id"), col("sig"), col("list_id"))
+    val wC = Window.partitionBy("query_id")
+      .orderBy(asc("ham"), asc("neighbor_id"))
+    val survivors = broadcast(probes).join(coarse, Seq("list_id"))
+      .withColumn("ham", graft.plans.Hamming.distCol(col("qsig"), col("sig")))
+      .withColumn("cr", row_number().over(wC))
+      .where(col("cr") <= coarseK)
+      .select(col("query_id"), col("qvec"), col("qvv"), col("neighbor_id"))
+      .localCheckpoint() // nQueries·coarseK rows; coarse scan runs once
+    // tier 2: fetch int8 payloads for the survivors only
+    val survIds = survivors.select("neighbor_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val adcCand = post.where(col("vec_id").isin(survIds: _*))
+      .select(col("vec_id").as("neighbor_id"), col("q8"), col("scale"),
+        col("vv").as("cvv"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(desc("ascore"), asc("neighbor_id"))
+    val sel = broadcast(survivors).join(adcCand, Seq("neighbor_id"))
+      .withColumn("ascore", col("scale") / 127 *
+        ndotId(col("qvec"), col("q8")) / sqrt(col("cvv")))
+      .withColumn("ar", row_number().over(wA))
+      .where(col("ar") <= rerankK)
+      .select(col("query_id"), col("qvec"), col("qvv"), col("neighbor_id"))
+      .localCheckpoint() // nQueries·rerankK rows; ADC stage runs once
+    // tier 3: exact cosine over full-precision vectors from the source
     val rerankIds = sel.select("neighbor_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val exact = v.where(col("vec_id").isin(rerankIds: _*))

@@ -44,9 +44,15 @@ case class SignPack(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(vAny: Any): Any =
     SignPack.pack(vAny.asInstanceOf[ArrayData])
 
+  // pack() returns null on a null vector element (the documented
+  // contract) — the generated code must propagate that as isNull, not
+  // hand UnsafeRow writers a null ArrayData (the HierArgmin pattern).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.SignPack.pack($c);")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.plans.SignPack.pack($c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SignPack =
     copy(child = newChild)

@@ -221,6 +221,65 @@ object LlmQueries {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q_embed_ann_funnel's oracle: the [[ivfInt8OracleSql]] chain with
+    * the 1-bit COARSE tier inserted between the probed-candidate join
+    * and the int8 ADC — Hamming replayed by definition (count of sign
+    * disagreements ≡ popcount of the packed xor, the q_embed_ann_hamming
+    * precedent), top coarseK=64 per query (ties ham asc, neighbor_id),
+    * then ADC top rerankK=32, then exact re-rank. Registry parameters
+    * nQueries=5, k=5, nProbe=4, coarseK=64, rerankK=32 hardcoded. */
+  private lazy val ivfFunnelOracleSql: String =
+    s"""WITH $lloydOracleCtes,
+       |probes AS (SELECT query_id, qvec, qvv, list_id FROM (
+       |    SELECT q.vec_id AS query_id, q.vec AS qvec, q.vv AS qvv,
+       |      c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY q.vv + c.cc - 2*list_dot_product(q.vec, c.cvec),
+       |                 c.list_id) AS rn
+       |    FROM (SELECT * FROM vv WHERE vec_id < 5) q
+       |    CROSS JOIN cent2 c) WHERE rn <= 4),
+       |cand AS (SELECT neighbor_id, cvec, cvv, list_id FROM (
+       |    SELECT x.vec_id AS neighbor_id, x.vec AS cvec, x.vv AS cvv,
+       |      c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY x.vv + c.cc - 2*list_dot_product(x.vec, c.cvec),
+       |                 c.list_id) AS rn
+       |    FROM (SELECT * FROM vv WHERE vec_id >= 5) x
+       |    JOIN vsup vs ON vs.vec_id = x.vec_id
+       |    JOIN hbranch br ON br.super_id = vs.super_id
+       |    JOIN cent2 c ON c.list_id = br.list_id) WHERE rn = 1),
+       |coarse AS (SELECT query_id, qvec, qvv, neighbor_id, cvec, cvv FROM (
+       |    SELECT p.query_id, p.qvec, p.qvv, c.neighbor_id, c.cvec, c.cvv,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |        len(list_filter(range(1, len(p.qvec) + 1),
+       |          i -> (p.qvec[i] > 0) != (c.cvec[i] > 0))),
+       |        c.neighbor_id) AS cr
+       |    FROM probes p JOIN cand c USING (list_id)) WHERE cr <= 64),
+       |cs AS (SELECT query_id, qvec, qvv, neighbor_id, cvec, cvv,
+       |    GREATEST(list_max(list_transform(cvec, x -> abs(x))), 1e-30)
+       |      AS scale
+       |  FROM coarse),
+       |cq AS (SELECT query_id, qvec, qvv, neighbor_id, cvv, scale,
+       |    list_transform(cvec,
+       |      x -> CAST(floor(x / scale * 127 + 0.5) AS INTEGER)) AS q8
+       |  FROM cs),
+       |sel AS (SELECT query_id, qvec, qvv, neighbor_id FROM (
+       |    SELECT query_id, qvec, qvv, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+       |        scale / 127 * list_dot_product(qvec,
+       |          list_transform(q8, x -> CAST(x AS DOUBLE)))
+       |          / sqrt(cvv) DESC,
+       |        neighbor_id) AS ar
+       |    FROM cq) WHERE ar <= 32),
+       |r AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+       |      list_dot_product(s.qvec, e.vec) / (sqrt(s.qvv) * sqrt(e.vv))
+       |        DESC,
+       |      neighbor_id) AS rank
+       |  FROM sel s JOIN vv e ON e.vec_id = s.neighbor_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Replay of [[Similarity.superQuantizer]] + the two-level corpus
     * assignment ([[Similarity.hierArgminCol]] / graft_hier_argmin):
     * super count = smallest s with s² ≥ k (integer-only); init = the
@@ -964,6 +1023,26 @@ object LlmQueries {
           .orderBy("query_id", "rank")
       },
       Some(ivfInt8OracleSql)),
+
+    // The three-tier serving funnel — the actual 100 TB serve shape,
+    // composing every tier the int8 index stores: 1-bit Hamming coarse
+    // over the probed lists (the scan reads the sig column, ~32× fewer
+    // bytes than the floats), int8 ADC over the coarse survivors,
+    // exact re-rank of the ADC survivors. coarseK=64 < the per-query
+    // candidate count and rerankK=32 < coarseK at sf0.01, so EVERY
+    // tier's ordering is decisive in the oracle match. Deterministic
+    // end-to-end; DuckDB replays the full chain (Hamming by its
+    // definition — count of sign disagreements).
+    Q("q_embed_ann_funnel",
+      (s, dir) => {
+        val ix = s.conf.get("spark.sql.warehouse.dir")
+          .stripSuffix("/") + "/graft_ivf_index_funnel"
+        Similarity.buildIvfIndexInt8(embeddings(s, dir), ix)
+        Similarity.ivfTopKFromIndexFunnel(s, ix, embeddings(s, dir), 5, 5,
+            nProbe = 4, coarseK = 64, rerankK = 32)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfFunnelOracleSql)),
 
     // Three-level (tree) IVF — the beyond-16M-vectors fit
     // (Similarity.treeFit): supers from the distributed lloydFit at

@@ -39,11 +39,15 @@ object StreamIndexAppend {
     * Returns postings appended (0 for a replay). */
   def appendBatch(batch: DataFrame, dir: String, iters: Int = 2): Long = {
     val spark = batch.sparkSession
-    val ids = batch.select("vec_id")
+    // Distinct on BOTH sides: a duplicate vec_id inside the batch (or
+    // already in the postings from a crashed append) would inflate a
+    // join-row count and let a partial overlap masquerade as a clean
+    // replay — the classification must be multiplicity-proof.
+    val ids = batch.select("vec_id").distinct()
     val n = ids.count()
-    if (n == 0) return 0L
+    if (n == 0L) return 0L
     val present = spark.read.parquet(s"$dir/postings").select("vec_id")
-      .join(broadcast(ids), "vec_id").count()
+      .join(broadcast(ids), Seq("vec_id"), "left_semi").distinct().count()
     if (present == n) return 0L // clean replay: converge, don't crash
     require(present == 0L,
       s"StreamIndexAppend: partial overlap — $present of $n batch vec_ids " +

@@ -40,6 +40,19 @@ class BinaryAnnSpec extends SparkSpec {
     assert(nullElem)
   }
 
+  test("sign pack null element propagates through WHOLE-STAGE CODEGEN (not just the folded path)") {
+    // the literal-input case above constant-folds to the interpreted
+    // eval; a non-foldable input drives doGenCode, which must set
+    // isNull instead of handing UnsafeRow writers a null ArrayData
+    val got = spark.range(3).select(col("id"),
+        SignPack.packCol(array(col("id").cast("double"),
+          when(col("id") === 1, lit(null)).otherwise(col("id"))
+            .cast("double"))).as("sig"))
+      .orderBy("id").collect()
+    assert(!got(0).isNullAt(1) && got(2).getSeq[Long](1) == Seq(3L))
+    assert(got(1).isNullAt(1), "codegen path must null out, not NPE")
+  }
+
   test("hamming: hand-computed, zero distance, length mismatch is loud") {
     val got = Seq(
       (Seq(5L), Seq(5L)),                        // 0

@@ -137,4 +137,40 @@ class IndexedIvfSpec extends SparkSpec {
     val qp = dirBytes(s"$dir/postings_q")
     assert(qp.toDouble / fp < 0.5, s"int8 postings $qp vs float $fp bytes")
   }
+
+  test("three-tier funnel: generous coarse is bit-identical to the int8 " +
+    "serve; generous everywhere equals the full-precision index; " +
+    "practical tiers hold recall") {
+    val dir = ixDir + "_funnel"
+    Similarity.buildIvfIndexInt8(emb, dir)
+    val n = emb.count().toInt
+    // tier parity rung 1: coarseK >= any per-query candidate count ⇒
+    // the 1-bit tier passes everything through ⇒ identical to the int8
+    // index serve at the same rerankK (ADC + exact tail unchanged)
+    val int8 = Similarity
+      .ivfTopKFromIndexInt8(spark, dir, emb, 5, 5, rerankK = 32)
+      .orderBy("query_id", "rank").collect().toSeq
+    val genCoarse = Similarity
+      .ivfTopKFromIndexFunnel(spark, dir, emb, 5, 5, coarseK = n, rerankK = 32)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(genCoarse === int8)
+    // rung 2: both caps generous ⇒ every candidate exactly re-scored ⇒
+    // identical to the full-precision index answer
+    Similarity.buildIvfIndex(emb, ixDir)
+    val full = Similarity.ivfTopKFromIndex(spark, ixDir, 5, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val genAll = Similarity
+      .ivfTopKFromIndexFunnel(spark, dir, emb, 5, 5, coarseK = n, rerankK = n)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(genAll === full)
+    // practical caps: every tier's ordering is decisive, recall@5 vs
+    // the full-precision index answer stays high
+    val practical = Similarity
+      .ivfTopKFromIndexFunnel(spark, dir, emb, 5, 5, coarseK = 64, rerankK = 32)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullSet = full.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = practical.intersect(fullSet).size.toDouble / fullSet.size
+    assert(recall >= 0.6, s"funnel recall@5 = $recall")
+  }
 }

@@ -95,4 +95,44 @@ class LayoutSpec extends SparkSpec {
     assert(zScan <= 1536, s"z-order scan emitted $zScan rows (pruning dead?)")
     assert(xScan == 4096, s"x-sort scan emitted $xScan rows, expected all")
   }
+
+  // second-granularity time key: TimestampNTZ row-group stats are dead
+  // reader-side (the r13 finding; the DATE workaround loses sub-day
+  // resolution), so the epoch-long embedding is the layout dimension
+  // AND the predicate column — INT64 stats prune files and row groups
+  test("epoch-long timestamp dimension: sub-day time-box prunes files and row groups") {
+    val dir = Files.createTempDirectory("graft-zorder-ts").toString
+    // 64 hours of data x 64 x-values: hour granularity is sub-day, so
+    // a DATE downcast could not express the 8-hour box below
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).as("x"),
+        floor(col("id") / 64).cast("long").as("hour"), col("id").as("payload"))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("hour") * 3600)
+        .cast("timestamp_ntz"))
+      .withColumn("ts_s", Layout.epochLong(col("ts")))
+    Layout.zorderWrite(grid, Seq("x", "ts_s"), dir, nFiles = 16, bits = 6)
+    val lo = 1700000000L + 8 * 3600
+    val hi = 1700000000L + 15 * 3600
+    val pred = col("ts_s") >= lo && col("ts_s") <= hi
+    val touched = Layout.filesTouched(spark.read.parquet(dir), pred)
+    assert(touched <= 4, s"time-box touched $touched of 16 files")
+    val df = spark.read.parquet(dir).where(pred)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }.head
+    val rows = scan.metrics("numOutputRows").value
+    assert(rows <= 1536, s"INT64 stats scan emitted $rows rows (pruning dead?)")
+    // round-trip: the written table still carries the full-resolution
+    // NTZ column alongside the prunable key
+    assert(spark.read.parquet(dir).select("ts").distinct().count() == 64)
+  }
+
+  test("zorderWrite refuses an input that already has a __zval column") {
+    val dir = Files.createTempDirectory("graft-zorder-guard").toString
+    val df = spark.range(4).select(col("id").as("x"), col("id").as("__zval"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(df, Seq("x"), dir, nFiles = 1, bits = 4)
+    }
+    assert(e.getMessage.contains("__zval"))
+  }
 }

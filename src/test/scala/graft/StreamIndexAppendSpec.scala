@@ -86,4 +86,72 @@ class StreamIndexAppendSpec extends SparkSpec {
     assert(e.getMessage.contains("partial overlap"))
     assert(spark.read.parquet(s"$dir/postings").count() === total)
   }
+
+  test("replay rail is multiplicity-proof: postings duplicated by a crashed " +
+    "append cannot disguise a partial overlap as a clean replay") {
+    val d = dir + "_dup"
+    val total = emb.count()
+    Similarity.buildIvfIndex(emb.where(col("vec_id") < total / 2), d)
+    // simulate a crashed append that double-inserted one vec_id: with
+    // join-row counting, a batch of {dup_id, fresh_id} would count 2
+    // matches == 2 batch rows and silently drop fresh_id; the distinct
+    // rail must classify it as a partial overlap instead
+    val dupRow = spark.read.parquet(s"$d/postings")
+      .where(col("vec_id") === 0).localCheckpoint() // materialize pre-write
+    dupRow.write.mode("append").parquet(s"$d/postings")
+    val batch = emb.where(col("vec_id") === 0)
+      .union(emb.where(col("vec_id") === total / 2))
+    val e = intercept[IllegalArgumentException] {
+      StreamIndexAppend.appendBatch(batch, d)
+    }
+    assert(e.getMessage.contains("partial overlap"), e.getMessage)
+    // and a batch that is ONLY the duplicated id is still a clean replay
+    assert(StreamIndexAppend.appendBatch(
+      emb.where(col("vec_id") === 0), d) === 0L)
+  }
+
+  test("append contract: existing posting files are immutable (new data " +
+    "arrives only as new files) and a reader seeing a file-prefix of an " +
+    "append still serves") {
+    val d = dir + "_contract"
+    val total = emb.count()
+    val cut = total / 2
+    Similarity.buildIvfIndex(emb.where(col("vec_id") < cut), d)
+    def listing(p: String): Map[String, Long] = {
+      val f = new java.io.File(new java.net.URI(p).getPath)
+      f.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(x => x.getName -> x.length()).toMap
+    }
+    val before = listing(s"$d/postings")
+    Similarity.appendToIvfIndex(emb.where(col("vec_id") >= cut), d)
+    val after = listing(s"$d/postings")
+    // file-level immutability: every pre-append file survives the
+    // append byte-for-byte in place; growth is strictly new files —
+    // so a concurrent reader can never observe a partially-OVERWRITTEN
+    // file, only an older (or file-prefix) snapshot of the directory
+    assert(before.forall { case (n, len) => after.get(n).contains(len) },
+      "append modified a pre-existing posting file")
+    assert(after.size > before.size)
+    // torn-listing reader: an index dir holding the old files plus ONE
+    // of the appended files (what a reader that listed mid-append sees,
+    // since each task file lands by atomic rename) serves a complete,
+    // crash-free answer over the vectors it can see
+    val torn = java.nio.file.Files.createTempDirectory("graft-ivf-torn")
+    val tornDir = torn.toString
+    def cp(fromDir: String, names: Iterable[String], to: String): Unit = {
+      val src = new java.io.File(new java.net.URI(fromDir).getPath)
+      val dst = new java.io.File(to); dst.mkdirs()
+      names.foreach { n =>
+        java.nio.file.Files.copy(src.toPath.resolve(n),
+          dst.toPath.resolve(n))
+      }
+    }
+    cp(s"$d/centroids", listing(s"$d/centroids").keys, s"$tornDir/centroids")
+    val oneNew = (after.keySet -- before.keySet).head
+    cp(s"$d/postings", before.keys ++ Seq(oneNew), s"$tornDir/postings")
+    val served = Similarity.ivfTopKFromIndex(spark, "file:" + tornDir, 5, 5)
+      .collect()
+    assert(served.nonEmpty && served.length <= 25,
+      s"torn-listing serve returned ${served.length}")
+  }
 }
