@@ -32,10 +32,16 @@ import graft.functions.TextAnalysis
   *    hash (gram strings never leave the map side); hash ≡ string
   *    identity up to 2⁻⁶⁴-scale collisions, the documented trade shared
   *    with the md5 fingerprint and the jaccard verify sets;
-  *  - the duplicated-gram stats (count ≥ 2 plus first-occurrence key)
-  *    are ONE aggregate over the gram stream; the occurrence-marking
-  *    join is hash-keyed with no hint — AQE broadcasts the stats side
-  *    when dedup structure is sparse and sort-merges when it is not;
+  *  - occurrence marking is count/min over `Window.partitionBy(gh)` —
+  *    ONE corpus-sized shuffle and ONE gram build. The r5–r13 shape
+  *    (groupBy stats, then grams ⋈ stats) built the gram stream TWICE
+  *    (the agg-side exchange contains the partial agg, so ReuseExchange
+  *    can't unify it with the join-side exchange) and paid a sort-merge
+  *    join on top; the window shape measured 5.2× faster at sf100
+  *    (ProbeSpan r14: 94.2 s vs 493.0 s for the same marking answer).
+  *    WindowExec buffers one gh-group at a time in a spillable array,
+  *    so a pathological million-occurrence gram degrades to disk, not
+  *    OOM — the collect_list-per-gh alternative lacks that bound;
   *  - covered/kept/rebuilt text are pure array expressions per document
   *    (`array_except`, never a per-position `array_contains` scan).
   */
@@ -66,12 +72,11 @@ object SpanDedup {
         graft.plans.Tok64Hash.tok64Col(docs.sparkSession,
           concat_ws(" ", slice(col("t"), col("p"), lit(l)))).as("gh"))
       .withColumn("k", col("doc_id") * PosStride + col("p"))
-    val dupStats = grams.groupBy("gh")
-      .agg(count(lit(1)).as("cnt"), min(col("k")).as("first_k"))
-      .where(col("cnt") >= 2)
-      .select("gh", "first_k")
-    val starts = grams.join(dupStats, Seq("gh"))
-      .where(col("k") =!= col("first_k"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val starts = grams
+      .withColumn("cnt", count(lit(1)).over(byGram))
+      .withColumn("first_k", min(col("k")).over(byGram))
+      .where(col("cnt") >= 2 && col("k") =!= col("first_k"))
       .groupBy("doc_id").agg(collect_list(col("p")).as("starts"))
     toks.join(starts, Seq("doc_id"), "left")
       .withColumn("covered", array_distinct(flatten(transform(

@@ -29,7 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * next kind's count and replace also collapse to one scan (count is
   * contractually on the original text, replace on the partially
   * redacted text — equal strings when nothing was replaced). Worst
-  * case 5 scans, no-PII documents 3, vs always 6 before.
+  * case 5 scans vs always 6 before — and a byte-level pre-gate
+  * ([[PiiRedact.run]]) lets PII-free documents (the common case on a
+  * real corpus) skip the decode and every matcher entirely: one pass
+  * over the raw UTF-8 bytes proving no '@', no digit'.'digit, no
+  * '+'digit ⇒ the input string is returned as-is with zero counts.
   *
   * Bit parity with the composable form (pinned in PiiRedactSpec): same
   * java.util.regex patterns, same non-overlapping successive-find
@@ -115,22 +119,77 @@ object PiiRedact {
     sb.toString
   }
 
-  /** One UTF-8 decode, 3–5 matcher scans; see class doc for the
-    * fusion-legality argument per stage. */
+  /** Probe hook only (tools/ProbePii same-JVM A/B): flips the byte-gate
+    * off so the ungated kernel can be timed against the gated one in
+    * one session. Driver-local var — fine under local[*]; never set it
+    * in production paths (a cluster executor would not see the flip). */
+  private[graft] var gateDisabledForProbe = false
+
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  /** Byte-level pre-gate, computed on the RAW UTF-8 bytes with no
+    * decode. Each flag is a sound over-approximation of "this kind can
+    * match at any stage":
+    *   - email needs a literal '@' (0x40 — an ASCII byte in UTF-8 is
+    *     always a standalone char, and invalid sequences decode to
+    *     U+FFFD, never to ASCII);
+    *   - every IPv4 match contains three consecutive chars
+    *     digit '.' digit (last digit of one octet, the dot, first digit
+    *     of the next);
+    *   - every phone match starts with '+' immediately followed by a
+    *     digit.
+    * Soundness across stages: replacements only insert <EMAIL>/<IP>/
+    * <PHONE> (no digit, '.', '+', '@') and appendReplacement never
+    * leaves original chars newly adjacent (the token always lands in
+    * between), so a witness triple/pair absent from the original cannot
+    * appear in any partially-redacted string either. Returns a 3-bit
+    * mask: 1 = email, 2 = ip, 4 = phone. */
+  private def byteGate(text: UTF8String): Int = {
+    val n = text.numBytes
+    var mask = 0
+    var prev: Byte = 0
+    var prev2: Byte = 0
+    var i = 0
+    while (i < n && mask != 7) {
+      val b = text.getByte(i)
+      if (b == '@') mask |= 1
+      else if (isDigit(b)) {
+        if (prev == '.' && isDigit(prev2)) mask |= 2
+        if (prev == '+') mask |= 4
+      }
+      prev2 = prev
+      prev = b
+      i += 1
+    }
+    mask
+  }
+
+  /** Byte-gate first (PII-free documents return the input UTF8String
+    * untouched with zero counts — no decode, no matcher); else one
+    * UTF-8 decode and only the gated matchers run, 1–5 scans. See
+    * class doc for the per-stage fusion-legality argument and
+    * [[byteGate]] for the gate-soundness one. */
   def run(text: UTF8String): InternalRow = {
+    val mask = if (gateDisabledForProbe) 7 else byteGate(text)
+    if (mask == 0)
+      return new GenericInternalRow(Array[Any](text, 0L, 0L, 0L))
     val s = text.toString
     // email: count is on the original and so is the replace — one scan.
-    val (red1, nEmail) = replaceCounting(emailP, s, "<EMAIL>")
+    val (red1, nEmail) =
+      if ((mask & 1) == 0) (s, 0L) else replaceCounting(emailP, s, "<EMAIL>")
     // ip: count on the original; replace on red1. Equal strings when no
     // email was replaced (red1 eq s), so the two scans collapse to one.
     val (red2, nIp) =
-      if (red1 eq s) replaceCounting(ipP, s, "<IP>")
+      if ((mask & 2) == 0) (red1, 0L)
+      else if (red1 eq s) replaceCounting(ipP, s, "<IP>")
       else (replaceOnly(ipP, red1, "<IP>"), countOnly(ipP, s))
     val (red3, nPhone) =
-      if (red2 eq s) replaceCounting(phoneP, s, "<PHONE>")
+      if ((mask & 4) == 0) (red2, 0L)
+      else if (red2 eq s) replaceCounting(phoneP, s, "<PHONE>")
       else (replaceOnly(phoneP, red2, "<PHONE>"), countOnly(phoneP, s))
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString(red3), nEmail, nIp, nPhone))
+      if (red3 eq s) text else UTF8String.fromString(red3),
+      nEmail, nIp, nPhone))
   }
 
   private val fnId = FunctionIdentifier("graft_pii_redact")

@@ -13,15 +13,22 @@ import graft.functions.TextAnalysis
   * sizes (duplicated grams, removed occurrences, covered tokens) so an
   * answer-growth superlinearity is separated from a plan one.
   *
-  * Stages (mirrors SpanDedup.removeDuplicateSpans with l = 50, the
+  * Stages (mirrors SpanDedup.removeDuplicateSpans with l = 5, the
   * registry parameter):
   *   A tokenize        — toks localCheckpoint materialization
   *   B gram build      — map-only gram stream (slice+concat_ws+tok64),
-  *                       partial-agg sum(gh): no shuffle
+  *                       partial-agg count/sum: no shuffle
   *   C stats shuffle   — grams → groupBy(gh) agg → cnt >= 2 (the only
   *                       corpus-sized shuffle)
   *   D marking join    — grams ⋈ dupStats, k != first_k, per-doc starts
-  *   E FULL            — + covered/kept/rebuild text
+  *                       (the CURRENT operator shape: note grams is
+  *                       computed twice — agg side and join left — as
+  *                       the two exchanges differ by the partial agg,
+  *                       so ReuseExchange cannot kick in)
+  *   D2 window shape   — the candidate: count/min over
+  *                       Window.partitionBy(gh) then filter — ONE gram
+  *                       build, ONE corpus-sized shuffle, no join
+  *   E FULL            — current operator end-to-end (+ rebuild text)
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> SPARK_GRAFT_CPUS=32 \
   *          SPARK_DRIVER_MEM=80g tools/run.sh graft.tools.ProbeSpan [l]
@@ -32,7 +39,7 @@ object ProbeSpan {
       "/root/repo/testdata-sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
-    val l = if (args.nonEmpty) args(0).toInt else 50
+    val l = if (args.nonEmpty) args(0).toInt else 5
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
@@ -71,23 +78,58 @@ object ProbeSpan {
           graft.plans.Tok64Hash.tok64Col(spark,
             concat_ws(" ", slice(col("t"), col("p"), lit(l)))).as("gh"))
         .withColumn("k", col("doc_id") * PosStride + col("p"))
-      time("B gram build (map-only)")(
-        grams.agg(sum(col("gh"))).collect()(0).getLong(0))
       val dupStats = grams.groupBy("gh")
         .agg(count(lit(1)).as("cnt"), min(col("k")).as("first_k"))
         .where(col("cnt") >= 2)
         .select("gh", "first_k")
-      time("C stats shuffle (dup grams)")(dupStats.count())
-      val starts = grams.join(dupStats, Seq("gh"))
+      val startsOld = grams.join(dupStats, Seq("gh"))
         .where(col("k") =!= col("first_k"))
         .groupBy("doc_id").agg(collect_list(col("p")).as("starts"))
-      time("D marking join (docs-with-dups, occ)")(
-        starts.agg(count(lit(1)), sum(size(col("starts"))))
-          .collect()(0).toSeq.mkString("/"))
-      time("E FULL operator")(
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+      val starts2 = grams
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("first_k", min(col("k")).over(w))
+        .where(col("cnt") >= 2 && col("k") =!= col("first_k"))
+        .groupBy("doc_id").agg(collect_list(col("p")).as("starts"))
+      // per-stage timings (SPARK_GRAFT_STAGES=0 skips straight to the
+      // full-operator A/B)
+      if (sys.env.getOrElse("SPARK_GRAFT_STAGES", "1") == "1") {
+        time("B gram build (map-only)")(
+          grams.agg(count(lit(1)), sum(pmod(col("gh"), lit(1000))))
+            .collect()(0).toSeq.mkString("/"))
+        time("C stats shuffle (dup grams)")(dupStats.count())
+        time("D marking join (docs-with-dups, occ)")(
+          startsOld.agg(count(lit(1)), sum(size(col("starts"))))
+            .collect()(0).toSeq.mkString("/"))
+        time("D2 window-shape starts (docs-with-dups, occ)")(
+          starts2.agg(count(lit(1)), sum(size(col("starts"))))
+            .collect()(0).toSeq.mkString("/"))
+      }
+      // full-operator A/B in the same JVM: the pre-r14 agg+join shape
+      // (inlined above, byte-identical to the r5–r13 operator) vs the
+      // production window shape
+      def rebuild(st: org.apache.spark.sql.DataFrame) = toks
+        .join(st, Seq("doc_id"), "left")
+        .withColumn("covered", array_distinct(flatten(transform(
+          coalesce(col("starts"), array().cast("array<int>")),
+          i => sequence(i, i + (l - 1))))))
+        .withColumn("kept",
+          array_except(sequence(lit(1), size(col("t"))), col("covered")))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          size(col("covered")).cast("long").as("n_removed"),
+          concat_ws(" ",
+            transform(col("kept"), q => element_at(col("t"), q)))
+            .as("deduped_text"))
+      // noop force (the Bench convention): an agg consumer would let
+      // Catalyst prune the deduped_text rebuild, the most expensive
+      // map work. E-new pays its own tokenize+checkpoint inside the
+      // operator (E-old reuses the probe's) — a handicap AGAINST the
+      // new shape, so a win is a win a fortiori.
+      time("E-old FULL (agg+join shape, noop)")(
+        rebuild(startsOld).write.format("noop").mode("overwrite").save())
+      time("E-new FULL (production window shape, noop)")(
         graft.operators.SpanDedup.removeDuplicateSpans(docs, l)
-          .agg(sum("n_removed"), sum("n_tokens"))
-          .collect()(0).toSeq.mkString("/"))
+          .write.format("noop").mode("overwrite").save())
       toks.unpersist()
     }
     spark.stop()
