@@ -116,6 +116,71 @@ object ProbeTfidf {
         col("rn").cast("long").as("rn"))
   }
 
+  /** r14 candidate, the shape the r12 war did NOT cover: keep the
+    * three-aggregate structure but derive len and df FROM tf by plain
+    * DAG reuse — no len-in-key (variant a's loss), no checkpoint
+    * (variants b/c's loss). The three consumers contain byte-identical
+    * `Exchange(hash(doc_id, word), partial_count(explode...))`
+    * subtrees, so ReuseExchange runs the corpus explode + the big
+    * shuffle ONCE; len/df re-run only the post-shuffle final agg and
+    * shuffle map-collapsed small streams (≤1 row per doc / per word per
+    * partition). At 100 TB this is one corpus scan instead of three. */
+  def vTf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val len = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    // count(tf) not count(1): tf is a count output (never null) so the
+    // value is identical, but referencing the column stops the
+    // optimizer from PRUNING tf's count out of this branch's partial
+    // agg — pruned, the subtree is no longer byte-identical to tf's
+    // and AQE stage reuse cannot unify the exchanges (measured: the
+    // count(1) spelling plans `functions=[]` in the df branch)
+    val dfreq = tf.groupBy("word").agg(count(col("tf")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") / col("len") *
+      col("n_docs") / col("df")
+    tf.join(len, "doc_id").join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("word"), col("score"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** r14 candidate: tf computed ONCE into an in-memory columnar cache
+    * (MEMORY_AND_DISK), three consumers read it. Differs from r12's
+    * measured losers: no len-in-key, and no serialized DISK round-trip
+    * of a localCheckpoint — the cache is the narrow 3-column tf
+    * (~116M rows ≈ a few GB at sf100). One corpus explode + one big
+    * exchange; len/df become map-collapsed small shuffles over the
+    * cached rows. Caller must trigger an action before unpersist; the
+    * probe times with the cache's own materialization included. */
+  def vCache(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val words = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val len = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val dfreq = tf.groupBy("word").agg(count(col("tf")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") / col("len") *
+      col("n_docs") / col("df")
+    tf.join(len, "doc_id").join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("word"), col("score"),
+        col("rn").cast("long").as("rn"))
+  }
+
   def main(args: Array[String]): Unit = {
     Scratch.sweepStale()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,6 +197,8 @@ object ProbeTfidf {
     val memSpill = new AtomicLong
     val diskSpill = new AtomicLong
     val peakMem = new AtomicLong
+    val inBytes = new AtomicLong
+    val shufWrite = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
@@ -139,6 +206,8 @@ object ProbeTfidf {
           memSpill.addAndGet(m.memoryBytesSpilled)
           diskSpill.addAndGet(m.diskBytesSpilled)
           peakMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+          inBytes.addAndGet(m.inputMetrics.bytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
       }
     })
@@ -146,6 +215,7 @@ object ProbeTfidf {
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def time(label: String)(f: => Any): Unit = {
       memSpill.set(0); diskSpill.set(0); peakMem.set(0)
+      inBytes.set(0); shufWrite.set(0)
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
@@ -154,13 +224,41 @@ object ProbeTfidf {
       println(f"[probetfidf] $label: $sec%.2f s " +
         f"spill=${memSpill.get / (1 << 20)}MiB/mem " +
         f"${diskSpill.get / (1 << 20)}MiB/disk " +
-        f"peakTask=${peakMem.get / (1 << 20)}MiB ($r)")
+        f"peakTask=${peakMem.get / (1 << 20)}MiB " +
+        f"read=${inBytes.get / (1 << 20)}MiB " +
+        f"shufW=${shufWrite.get / (1 << 20)}MiB ($r)")
     }
     def noop(label: String, df: => DataFrame): Unit =
       time(label)(df.write.format("noop").mode("overwrite").save())
 
     // current production shape first (whatever tfidfTopTerms is today)
     noop("warm (production)", TextAnalysis.tfidfTopTerms(docs, 3))
+
+    // SPARK_GRAFT_SHAPES_ONLY=1: skip the stage-attribution rounds and
+    // just steady-state the shape A/B (3 rounds) — for re-measuring a
+    // candidate without re-paying ~15 min of stage table
+    if (sys.env.contains("SPARK_GRAFT_SHAPES_ONLY")) {
+      (1 to 3).foreach { i =>
+        noop(s"old3pass run $i", vOld(docs, 3))
+        noop(s"tfreuse run $i", vTf(docs, 3))
+        val c = vCache(docs, 3)
+        noop(s"tfcache run $i", c)
+        spark.sharedState.cacheManager.clearCache()
+      }
+      // reuse is an AQE runtime decision: execute once, then read the
+      // FINAL adaptive plan (the pre-execution initialPlan never shows
+      // ReusedExchange/ReusedQueryStage nodes)
+      val t = vTf(docs, 3)
+      t.write.format("noop").mode("overwrite").save()
+      val plan = t.queryExecution.executedPlan.toString
+      println("[probetfidf] tfreuse post-exec reuse nodes: " +
+        "ReusedExchange=" + "ReusedExchange".r.findAllIn(plan).length +
+        " ReusedQueryStage=" + "ReusedQueryStage".r.findAllIn(plan).length +
+        " Exchange=" + "Exchange".r.findAllIn(plan).length)
+      if (sys.env.contains("SPARK_GRAFT_PLAN")) println(plan)
+      spark.stop()
+      return
+    }
 
     // cumulative per-pass attribution of the production three-pass shape
     def words = docs.select(col("doc_id"),
