@@ -15,6 +15,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner's own periodic driver GC (default 30 min): on a
+      // >1 h at-scale sweep the explicit every-8-queries System.gc()
+      // below still left enough un-reclaimed shuffle scratch on disk to
+      // ENOSPC a 49 GB-headroom box mid-sweep (r14 sf100, the two
+      // embed queries' sort spill landing on top of ~100 queries'
+      // accumulated shuffle files). 2 min keeps reclamation ahead of
+      // accumulation regardless of query cadence.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
