@@ -50,7 +50,9 @@ object ProbeFunnel {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener bus drains async
+      // deterministic drain: a fixed sleep can miss late TaskEnd
+      // events on a loaded box (r14 advice) and skew the MiB compare
+      org.apache.spark.graftprobe.ListenerDrain.drain(spark.sparkContext)
       println(f"[probefunnel] $label: $sec%.2f s " +
         f"read=${inBytes.get / (1 << 20)}MiB")
     }

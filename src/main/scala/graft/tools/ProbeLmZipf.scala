@@ -56,6 +56,12 @@ object ProbeLmZipf {
       df.write.format("noop").mode("overwrite").save()
       println(f"[probelm] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // the zipf corpus is regenerable scratch (not committed; see
+    // .gitignore): fail with the recipe instead of a bare read error
+    if (!new java.io.File(s"$zipfDir/documents.parquet").exists()) sys.error(
+      s"$zipfDir/documents.parquet missing — regenerate with:\n" +
+        s"  SPARK_DRIVER_MEM=80g tools/run.sh graft.tools.GenScale " +
+        s"zipfdocs $sfDir $zipfDir")
     val suffix = spark.read.parquet(s"$sfDir/documents.parquet")
     val zipf = spark.read.parquet(s"$zipfDir/documents.parquet")
     stats("suffix", suffix)

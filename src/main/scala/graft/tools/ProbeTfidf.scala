@@ -119,12 +119,15 @@ object ProbeTfidf {
   /** r14 candidate, the shape the r12 war did NOT cover: keep the
     * three-aggregate structure but derive len and df FROM tf by plain
     * DAG reuse — no len-in-key (variant a's loss), no checkpoint
-    * (variants b/c's loss). The three consumers contain byte-identical
-    * `Exchange(hash(doc_id, word), partial_count(explode...))`
-    * subtrees, so ReuseExchange runs the corpus explode + the big
-    * shuffle ONCE; len/df re-run only the post-shuffle final agg and
-    * shuffle map-collapsed small streams (≤1 row per doc / per word per
-    * partition). At 100 TB this is one corpus scan instead of three. */
+    * (variants b/c's loss). INTENT: the three consumers contain
+    * byte-identical `Exchange(hash(doc_id, word),
+    * partial_count(explode...))` subtrees, which ReuseExchange/AQE
+    * stage reuse COULD unify into one corpus explode + one big
+    * shuffle. MEASURED OUTCOME (BASELINE.md r14): reuse does NOT fire
+    * — the post-execution adaptive plan shows three separate
+    * exchanges and zero ReusedExchange/ReusedQueryStage nodes, and
+    * the shape times at parity with the production three-pass. Kept
+    * as a recorded negative so the hypothesis isn't re-tried. */
   def vTf(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = docs.select(col("doc_id"),
@@ -157,9 +160,12 @@ object ProbeTfidf {
     * of a localCheckpoint — the cache is the narrow 3-column tf
     * (~116M rows ≈ a few GB at sf100). One corpus explode + one big
     * exchange; len/df become map-collapsed small shuffles over the
-    * cached rows. Caller must trigger an action before unpersist; the
-    * probe times with the cache's own materialization included. */
-  def vCache(docs: DataFrame, k: Int): DataFrame = {
+    * cached rows. Returns the result plus an unpersist cleanup the
+    * caller MUST run in a finally block after its action — otherwise
+    * the multi-GB cache leaks for the JVM lifetime (the SHAPES_ONLY
+    * loop's clearCache() only covered the happy path). The probe
+    * times with the cache's own materialization included. */
+  def vCache(docs: DataFrame, k: Int): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val words = docs.select(col("doc_id"),
@@ -171,7 +177,7 @@ object ProbeTfidf {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast("double") / col("len") *
       col("n_docs") / col("df")
-    tf.join(len, "doc_id").join(dfreq, "word")
+    val res = tf.join(len, "doc_id").join(dfreq, "word")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", score)
       .withColumn("rn", row_number().over(
@@ -179,6 +185,7 @@ object ProbeTfidf {
       .where(col("rn") <= k)
       .select(col("doc_id"), col("word"), col("score"),
         col("rn").cast("long").as("rn"))
+    (res, () => { tf.unpersist(); () })
   }
 
   def main(args: Array[String]): Unit = {
@@ -219,8 +226,8 @@ object ProbeTfidf {
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously; give the bus a beat
-      Thread.sleep(300)
+      // deterministic listener drain (was a racy fixed sleep)
+      org.apache.spark.graftprobe.ListenerDrain.drain(spark.sparkContext)
       println(f"[probetfidf] $label: $sec%.2f s " +
         f"spill=${memSpill.get / (1 << 20)}MiB/mem " +
         f"${diskSpill.get / (1 << 20)}MiB/disk " +
@@ -241,9 +248,9 @@ object ProbeTfidf {
       (1 to 3).foreach { i =>
         noop(s"old3pass run $i", vOld(docs, 3))
         noop(s"tfreuse run $i", vTf(docs, 3))
-        val c = vCache(docs, 3)
-        noop(s"tfcache run $i", c)
-        spark.sharedState.cacheManager.clearCache()
+        val (c, unpersistTf) = vCache(docs, 3)
+        try noop(s"tfcache run $i", c)
+        finally unpersistTf()
       }
       // reuse is an AQE runtime decision: execute once, then read the
       // FINAL adaptive plan (the pre-execution initialPlan never shows
