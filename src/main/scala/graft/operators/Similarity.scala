@@ -853,7 +853,9 @@ object Similarity {
       .select("list_id", "cvec", "cc").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1).toSeq
-    val post = spark.read.parquet(s"$dir/postings")
+    // manifest-resolving read: serves the last COMMITTED snapshot even
+    // while a concurrent (single-writer) append is mid-flight
+    val post = graft.io.Manifest.read(spark, s"$dir/postings")
     val q = post.where(col("vec_id") < nQueries)
     val probes = q.withColumn("p",
         explode(slice(array_sort(scoresCol(q, cents)), 1, nProbe)))
@@ -895,23 +897,22 @@ object Similarity {
     * derived from the centroids with `iters` Lloyd rounds, so a
     * mismatch would route borderline vectors differently than the
     * build did. New postings land as additional list_id-clustered
-    * parquet files (append mode — existing files untouched, so a
-    * concurrent reader never sees a partial overwrite).
+    * parquet files, committed through [[graft.io.Manifest]].
     *
-    * Concurrent-reader contract (pinned by StreamIndexAppendSpec):
-    * SINGLE WRITER, snapshot-by-listing readers. Existing posting
-    * files are immutable — an append only ADDS files, each becoming
-    * visible atomically via the committer's rename (in-flight
-    * `_temporary`/dot files are invisible to parquet listings) — so a
-    * reader concurrent with an append never sees a torn FILE; it sees
-    * the pre-append index or a file-prefix of the new batch, both of
-    * which serve complete answers over the vectors they contain.
-    * BATCH-level visibility is NOT atomic: all-or-nothing appearance
-    * of a whole append would need a manifest/Delta log, which the
-    * plain-parquet harness contract documents out of scope (the
-    * io/Tables replaceWhere/MERGE precedent). Concurrent WRITERS are
-    * undefined behavior — serialize appends (the streaming tail's
-    * foreachBatch already does).
+    * Concurrent-reader contract (pinned by StreamIndexAppendSpec +
+    * ManifestSpec): SINGLE WRITER, manifest-resolving readers. The
+    * append stages its files dot-hidden, moves them in, and commits
+    * ONE manifest rename — so a reader (every serve path here goes
+    * through [[graft.io.Manifest.read]]) sees the pre-append snapshot
+    * until the commit and the whole batch after it: BATCH-level
+    * all-or-nothing visibility, the r14 verdict's torn-read class
+    * closed. A pre-manifest index (plain [[buildIvfIndex]] output) is
+    * adopted on its first append; until then readers fall back to the
+    * plain directory listing, whose guarantee is only file-level
+    * atomicity. Concurrent WRITERS remain outside the contract —
+    * serialize appends (the streaming tail's foreachBatch already
+    * does); an accidental second writer fails loudly on the manifest
+    * version CAS.
     *
     * Idempotency: a vec_id already present in the index is REJECTED
     * fail-fast (the keyed-MERGE dup-source-key precedent) — a
@@ -928,7 +929,8 @@ object Similarity {
       .sortBy(_._1).toSeq
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("vv", ndot(col("vec"), col("vec")))
-    val dups = spark.read.parquet(s"$dir/postings").select("vec_id")
+    val dups = graft.io.Manifest.read(spark, s"$dir/postings")
+      .select("vec_id")
       .join(v.select("vec_id"), "vec_id").limit(5)
       .collect().map(_.getLong(0))
     require(dups.isEmpty,
@@ -938,7 +940,7 @@ object Similarity {
       .select(col("vec_id"), col("vec"), col("vv"), col("list_id"))
       .repartition(col("list_id"))
       .localCheckpoint() // one computation feeds both the write + count
-    rows.write.mode("append").parquet(s"$dir/postings")
+    graft.io.Manifest.publishAppend(rows, s"$dir/postings")
     rows.count()
   }
 
@@ -1043,7 +1045,7 @@ object Similarity {
         col("vv").as("qvv"), col("p.id").as("list_id"))
     val probedIds = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cand = spark.read.parquet(s"$dir/postings_q")
+    val cand = graft.io.Manifest.read(spark, s"$dir/postings_q")
       .where(col("vec_id") >= nQueries &&
         col("list_id").isin(probedIds: _*))
       .select(col("vec_id").as("neighbor_id"), col("q8"), col("scale"),
@@ -1125,7 +1127,7 @@ object Similarity {
         col("p.id").as("list_id"))
     val probedIds = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val post = spark.read.parquet(s"$dir/postings_q")
+    val post = graft.io.Manifest.read(spark, s"$dir/postings_q")
     // tier 1: the corpus-sized scan touches only the sig column of the
     // probed lists' row groups (pushed isin + parquet column pruning)
     val coarse = post.where(col("vec_id") >= nQueries &&

@@ -11,8 +11,10 @@ import graft.operators.Similarity
   * embeddings flow here): each micro-batch of new vectors is assigned
   * by the SAVED quantizer ([[Similarity.appendToIvfIndex]] — no refit,
   * no full-corpus reassignment) and appended as list_id-clustered
-  * posting files, so the served index grows continuously while
-  * [[Similarity.ivfTopKFromIndex]] keeps answering from the same dir.
+  * posting files committed atomically through [[graft.io.Manifest]]
+  * (batch-level all-or-nothing visibility), so the served index grows
+  * continuously while [[Similarity.ivfTopKFromIndex]] keeps answering
+  * the last committed snapshot from the same dir.
   *
   * Replay contract (foreachBatch redelivers a batch after a crash):
   *  - a CLEAN replay — every vec_id of the batch already indexed — is
@@ -46,7 +48,8 @@ object StreamIndexAppend {
     val ids = batch.select("vec_id").distinct()
     val n = ids.count()
     if (n == 0L) return 0L
-    val present = spark.read.parquet(s"$dir/postings").select("vec_id")
+    val present = graft.io.Manifest.read(spark, s"$dir/postings")
+      .select("vec_id")
       .join(broadcast(ids), Seq("vec_id"), "left_semi").distinct().count()
     if (present == n) return 0L // clean replay: converge, don't crash
     require(present == 0L,

@@ -153,5 +153,22 @@ class StreamIndexAppendSpec extends SparkSpec {
       .collect()
     assert(served.nonEmpty && served.length <= 25,
       s"torn-listing serve returned ${served.length}")
+    // r15: with the manifest honored, the torn state is INVISIBLE —
+    // the append's adoption commit (manifest-1, written before any new
+    // file moved in) names exactly the pre-append files, so a reader
+    // mid-append resolves the old snapshot even though oneNew is
+    // already on disk. This is the batch-level atomicity the r14
+    // contract note said needed a manifest/Delta log.
+    val msrc = new java.io.File(
+      new java.net.URI(s"$d/postings").getPath, "_manifests")
+    assert(msrc.isDirectory, "append did not write a manifest")
+    val mdst = new java.io.File(s"$tornDir/postings/_manifests")
+    mdst.mkdirs()
+    java.nio.file.Files.copy(
+      msrc.toPath.resolve("manifest-000000001"),
+      mdst.toPath.resolve("manifest-000000001"))
+    val snap = graft.io.Manifest.read(spark, s"file:$tornDir/postings")
+    assert(snap.count() === cut,
+      "manifested mid-append reader must see exactly the pre-append rows")
   }
 }
