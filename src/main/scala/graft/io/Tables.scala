@@ -338,6 +338,51 @@ object Tables {
       .parquet(path)
   }
 
+  /** Sharded delivery for PAIR-SCALE answers (near-duplicate pairs:
+    * [[graft.operators.Dedup.minhashLshPairs]] /
+    * [[graft.operators.Dedup.jaccardPairs]]) — the shape the
+    * q_dedup_minhash_lsh contract note calls for. At sf100 the
+    * registry query's trailing global `orderBy(doc_a, doc_b)` is
+    * ~154 s spent canonically ordering a 959.9M-row ANSWER; at 100×
+    * that, the total-order CONTRACT is the scale-killer, not the
+    * operator. This sink delivers the same information as
+    * range-disjoint sorted shards:
+    *
+    *  - shard key `s = keyA div shardWidth` — ARITHMETIC boundaries on
+    *    the bounded id domain, so (unlike `orderBy`/`repartitionByRange`,
+    *    whose RangePartitioner runs a SAMPLING JOB that re-executes the
+    *    whole pair pipeline's reduce side a second time) the only
+    *    data-sized movement is ONE hash exchange on `s`;
+    *  - `sortWithinPartitions(s, keyA, keyB)` + `partitionBy(s)`: the
+    *    writer's required clustering is already satisfied, so no
+    *    second sort — each shard directory gets exactly one file
+    *    (a shard's hash bucket lives in one task), internally sorted
+    *    by (keyA, keyB);
+    *  - shard s holds exactly the pairs with keyA ∈
+    *    [s·width, (s+1)·width): boundaries are range-disjoint BY
+    *    CONSTRUCTION, so concatenating shard dirs in ascending `s`
+    *    reproduces the global (keyA, keyB) order bit-for-bit
+    *    (ShardedPairsSpec pins it against `orderBy`).
+    *
+    * At 100 TB: shard count = id-domain/width regardless of executor
+    * count; per-task sorts are spillable; a consumer needing global
+    * order streams dirs in shard order, one needing a slice opens only
+    * its shards. Skew: a hot keyA window inflates its shard — width is
+    * the caller's knob (ids here are dense and uniform). Contract:
+    * keyA must be a non-negative integral id (`div` truncates toward
+    * zero, which is floor only for non-negatives). */
+  def writeShardedPairs(pairs: DataFrame, path: String, shardWidth: Long,
+                        keyA: String = "doc_a", keyB: String = "doc_b"): Unit = {
+    require(shardWidth >= 1, s"shardWidth must be >= 1, got $shardWidth")
+    import org.apache.spark.sql.functions.{col, expr}
+    pairs
+      .withColumn("__shard", expr(s"$keyA div $shardWidth"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions("__shard", keyA, keyB)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__shard").parquet(path)
+  }
+
   /** S12 — table existence probe (ex_match_bs.py:452-457; the local
     * `_delta_log` check in to_silver/slvr_match.py:242 becomes an
     * HDFS-API path probe). */

@@ -1,0 +1,88 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.Dedup
+
+/** Sharded pair-answer delivery (Tables.writeShardedPairs): the
+  * non-oracle delivery path for pair-scale answers. The contract to
+  * pin is equivalence — concatenating the shard directories in
+  * ascending shard order must reproduce the global (doc_a, doc_b)
+  * order bit-for-bit — plus the physical properties that make the
+  * shape scale: one internally-sorted file per shard dir and
+  * arithmetic range-disjoint boundaries. */
+class ShardedPairsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def shardDirs(path: String): Seq[(Long, File)] =
+    new File(path).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("__shard="))
+      .map(f => f.getName.stripPrefix("__shard=").toLong -> f)
+      .sortBy(_._1)
+
+  private def pinShape(pairs: org.apache.spark.sql.DataFrame,
+                       width: Long): Unit = {
+    val path = Files.createTempDirectory("graft-sharded-pairs").toString
+    Tables.writeShardedPairs(pairs, path, width)
+    val dirs = shardDirs(path)
+    assert(dirs.size > 1, "need multiple shards for the test to bite")
+    val concat = dirs.flatMap { case (s, d) =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      // one task owns a shard's whole hash bucket -> exactly one file
+      assert(parts.length === 1, s"shard $s has ${parts.length} files")
+      val rows = spark.read.parquet(parts.head.getPath)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // in-file order IS (doc_a, doc_b) order — no consumer-side sort
+      assert(rows.sameElements(rows.sortBy(t => (t._1, t._2))),
+        s"shard $s not internally sorted")
+      // arithmetic boundaries: every doc_a in [s*w, (s+1)*w)
+      assert(rows.forall(t => t._1 >= s * width && t._1 < (s + 1) * width),
+        s"shard $s holds out-of-range doc_a")
+      rows
+    }
+    val global = pairs.orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(concat.length === global.length)
+    assert(concat.sameElements(global),
+      "concat-in-boundary-order must equal the global sort")
+  }
+
+  test("minhash pairs: concat of shards in boundary order == the " +
+    "registry query's global orderBy") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(docs, 0.9, bands = 8, rows = 8)
+    val nDocs = docs.count()
+    pinShape(pairs, math.max(1L, nDocs / 7))
+  }
+
+  test("synthetic pairs incl. an empty shard window and a boundary id") {
+    // ids straddle shard boundaries (width 10): id 10 on a boundary,
+    // window [20,30) empty — empty windows produce NO dir (absence,
+    // not an empty file), and concat order is still global order
+    val pairs = Seq(
+      (0L, 5L, 1.0), (9L, 11L, 0.95), (10L, 2L, 0.9),
+      (35L, 1L, 0.92), (35L, 0L, 0.91), (19L, 40L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val path = Files.createTempDirectory("graft-sharded-synth").toString
+    Tables.writeShardedPairs(pairs, path, 10L)
+    val dirs = shardDirs(path)
+    assert(dirs.map(_._1) === Seq(0L, 1L, 3L)) // [20,30) absent
+    val concat = dirs.flatMap { case (_, d) =>
+      spark.read.parquet(
+        d.listFiles().filter(_.getName.endsWith(".parquet")).head.getPath)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(concat === Seq((0L, 5L), (9L, 11L), (10L, 2L), (19L, 40L),
+      (35L, 0L), (35L, 1L)))
+  }
+}
