@@ -81,6 +81,21 @@ object Bench {
     // whose purpose is order-of-magnitude scaling ratios). The driver
     // never sets this, so contract runs keep the median discipline.
     val single = sys.env.get("SPARK_GRAFT_SINGLE").contains("1")
+    // SPARK_GRAFT_FORK: run the named queries (or the whole heavy set,
+    // value "heavy") each in a FRESH FORKED JVM via BenchOne instead of
+    // the shared session. The r14 sweep showed the shared 90-minute
+    // JVM's per-query numbers swing 2-4x on byte-identical code
+    // (accumulated scratch/GC/page-cache interference) — exactly how a
+    // real regression hides. A forked number is a fresh-JVM steady
+    // (the only per-query figure comparable round-over-round at sf100)
+    // at the cost of ~30 s JVM+warmup overhead per forked query, which
+    // is OUTSIDE the timed window. The driver never sets this, so
+    // contract runs are unchanged.
+    val forkSet: Set[String] = sys.env.get("SPARK_GRAFT_FORK") match {
+      case Some("heavy") => heavy
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      case None => Set.empty
+    }
     // a failing query must be VISIBLE in the output, not silently timed
     // as a fast success deflating the total
     val failed = scala.collection.mutable.SortedSet[String]()
@@ -152,13 +167,50 @@ object Bench {
     // costs seconds itself.
     var sinceGc = 0
     def maybeGc(): Unit = { sinceGc += 1; if (sinceGc >= 8) { sinceGc = 0; System.gc() } }
+    // fresh-JVM measurement of one query: fork BenchOne with this JVM's
+    // exact flags/classpath/env, parse its per-run lines, median them.
+    // A child failure is recorded like an in-process one.
+    def forkOne(name: String): Double = {
+      import scala.jdk.CollectionConverters._
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.BenchOne", name)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_RUNS", if (single) "1" else "3")
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+        .getLines().toList
+      val rc = p.waitFor()
+      val times = out.flatMap { l =>
+        val m = s"\\[benchone\\] \\Q$name\\E run \\d+: ([0-9.]+) s".r
+          .findFirstMatchIn(l)
+        m.map(_.group(1).toDouble)
+      }
+      if (rc != 0 || times.isEmpty) {
+        failed += name
+        failMsg.getOrElseUpdate(name,
+          s"fork rc=$rc: ${out.lastOption.getOrElse("")}"
+            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(300))
+        System.err.println(s"[bench] $name FORK FAILED rc=$rc")
+        0.0
+      } else times.sorted.apply(times.size / 2)
+    }
     val lightResults = lightQ.map { case (name, fn) =>
-      maybeGc(); name -> median3(name, fn)
+      maybeGc()
+      name -> (if (forkSet(name)) forkOne(name) else median3(name, fn))
     }
     val heavyResults = heavyQ.map { case (name, fn) =>
       maybeGc()
-      if (!single) once(name, fn) // untimed prime
-      name -> (if (failed(name)) 0.0 else median3(name, fn))
+      if (forkSet(name)) name -> forkOne(name)
+      else {
+        if (!single) once(name, fn) // untimed prime
+        name -> (if (failed(name)) 0.0 else median3(name, fn))
+      }
     }
     val results = lightResults ++ heavyResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -176,8 +228,9 @@ object Bench {
     // measurement setting
     val shufp = spark.conf.get("spark.sql.shuffle.partitions")
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    val forkJson = forkSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val config =
-      s"""{"shuffle_partitions":$shufp,"cpus":"$cpus","heap_gb":$heapGb,"single":$single,"force":"$force"}"""
+      s"""{"shuffle_partitions":$shufp,"cpus":"$cpus","heap_gb":$heapGb,"single":$single,"force":"$force","fork":$forkJson}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"fail_msgs":$failMsgJson,"skipped":$skippedJson,"config":$config,"sf":"$sfDir"}"""
     val totalOnly =

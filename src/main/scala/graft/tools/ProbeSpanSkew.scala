@@ -1,0 +1,89 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SpanDedup
+
+/** Hot-gram straggler measurement for the span-dedup window shape
+  * (r15, the r14 verdict's #4): `Window.partitionBy(gh)` concentrates
+  * ALL occurrences of one gram in one task's sort — spillable, so a
+  * pathological gram (a whitespace run, a boilerplate token repeated
+  * 10⁷×) degrades to a serialized single-task sort, not OOM. Nobody
+  * had measured the degradation; this probe injects exactly that gram
+  * and reports the wall-clock delta plus the straggler task's own
+  * runtime.
+  *
+  * Injection: `SPARK_GRAFT_HOTDOCS` (default 13) documents of
+  * `SPARK_GRAFT_HOTTOKS` (default 800000, kept under the operator's
+  * 2²⁰ position contract) copies of one token — every l-window in
+  * them is the SAME gram, so they contribute hotdocs·(hottoks-l+1)
+  * ≈ 10⁷ occurrences of a single gh.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/repo/testdata-sf10 SPARK_GRAFT_CPUS=32 \
+  *   SPARK_GRAFT_SHUFFLE=256 SPARK_DRIVER_MEM=80g \
+  *   tools/run.sh graft.tools.ProbeSpanSkew
+  */
+object ProbeSpanSkew {
+  def main(args: Array[String]): Unit = {
+    Scratch.sweepStale()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val hotDocs = sys.env.getOrElse("SPARK_GRAFT_HOTDOCS", "13").toInt
+    val hotToks = sys.env.getOrElse("SPARK_GRAFT_HOTTOKS", "800000").toInt
+    require(hotToks < (1 << 20), "hot doc length must honor the 2^20 contract")
+
+    // straggler witness: the longest single task of any stage in the run
+    val maxTaskMs = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) maxTaskMs.updateAndGet(
+          p => math.max(p, m.executorRunTime))
+        ()
+      }
+    })
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    import spark.implicits._
+    val hotText = Seq.fill(hotToks)("zq").mkString(" ")
+    val hot = (1 to hotDocs)
+      .map(i => (maxId + i, hotText)).toDF("doc_id", "text")
+    val occ = hotDocs.toLong * (hotToks - 10 + 1)
+    println(s"[probespanskew] injecting $hotDocs docs x $hotToks tokens " +
+      s"= $occ occurrences of ONE gram")
+
+    def time(label: String)(df: => DataFrame): Unit = {
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftprobe.ListenerDrain.drain(spark.sparkContext)
+      println(f"[probespanskew] $label: $sec%.2f s " +
+        f"maxTask=${maxTaskMs.get / 1000.0}%.1f s")
+    }
+
+    (1 to rounds).foreach { i =>
+      time(s"baseline run $i")(SpanDedup.removeDuplicateSpans(docs, 10))
+      time(s"hot-gram run $i")(
+        SpanDedup.removeDuplicateSpans(docs.unionByName(hot), 10))
+      System.gc()
+    }
+    spark.stop()
+  }
+}

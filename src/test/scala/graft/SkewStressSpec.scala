@@ -91,6 +91,41 @@ class SkewStressSpec extends SparkSpec {
     }
   }
 
+  test("span-dedup window under a pathological hot gram: answer exact, " +
+    "and the documented one-task concentration is real") {
+    import graft.operators.SpanDedup
+    val l = 10
+    // hot: two docs that are one token repeated — every l-window is the
+    // SAME gram, so all their occurrences land in ONE Window.partitionBy(gh)
+    // partition (the SpanDedup scaladoc's documented degradation case)
+    val hotA = (0L, Seq.fill(3000)("x").mkString(" "))
+    val hotB = (1L, Seq.fill(3000)("x").mkString(" "))
+    // cold: unique-token docs -> every gram unique, spread by gh hash
+    val cold = (2L until 202L).map(d =>
+      (d, (0 until 20).map(i => s"u${d}_$i").mkString(" ")))
+    val docs = (Seq(hotA, hotB) ++ cold).toDF("doc_id", "text")
+    withoutAqe {
+      val tasks = heavyStageTasks(5000L) {
+        val out = SpanDedup.removeDuplicateSpans(docs, l)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+        // globally-first occurrence is (doc 0, pos 1): doc 0 keeps one
+        // copy (covered = 2..3000 -> kept = pos 1), doc 1 loses all
+        assert(out(0L) === ((3000L, 2999L, "x")))
+        assert(out(1L) === ((3000L, 3000L, "")))
+        // cold docs pass through untouched
+        assert(out(5L)._2 === 0L && out(5L)._3 === cold(3)._2)
+      }
+      // the honest pin: this shape CONCENTRATES the hot gram — one task
+      // of the window stage reads all ~5982 hot occurrences while the
+      // ~4000 cold grams spread. The degradation bound is a serialized
+      // spillable sort of the hot gram's occurrences, not OOM; the
+      // scaladoc documents it and ProbeSpanSkew measures it at scale.
+      assert(maxOverMean(tasks) > 2.0,
+        s"expected hot-gram concentration, got spread $tasks")
+    }
+  }
+
   test("cappedPerKey stage-1 window spreads the hot key over the salts") {
     withoutAqe {
       // the full 20.2k rows never reach the wire: Spark's partial
