@@ -1141,10 +1141,16 @@ object Similarity {
       .where(col("cr") <= coarseK)
       .select(col("query_id"), col("qvec"), col("qvv"), col("neighbor_id"))
       .localCheckpoint() // nQueries·coarseK rows; coarse scan runs once
-    // tier 2: fetch int8 payloads for the survivors only
+    // tier 2: fetch int8 payloads for the survivors only. The probed-
+    // list `isin` rides along (a survivor's posting row is in a probed
+    // list by construction): postings are CLUSTERED by list_id, so
+    // list stats prune whole row groups where the hash-scattered
+    // vec_id stats cannot — in the scan-bound regime this keeps the
+    // ADC fetch at probed-lists scale instead of corpus scale.
     val survIds = survivors.select("neighbor_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val adcCand = post.where(col("vec_id").isin(survIds: _*))
+    val adcCand = post.where(col("list_id").isin(probedIds: _*) &&
+        col("vec_id").isin(survIds: _*))
       .select(col("vec_id").as("neighbor_id"), col("q8"), col("scale"),
         col("vv").as("cvv"))
     val wA = Window.partitionBy("query_id")

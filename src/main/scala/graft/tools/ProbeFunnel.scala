@@ -20,8 +20,23 @@ import graft.operators.Similarity
   * ~4× fewer than q8, which matters exactly when the postings scan is
   * the bound (100 TB, cold storage) rather than this box's page cache.
   *
+  * r15 — the DESIGN-REGIME knobs (the r14 verdict's #2: the warm
+  * measurement above showed parity because the pushed `isin` pruned
+  * both paths to single-digit MiB of page-cached reads; the regime
+  * that justifies the coarse tier was never measured):
+  *  - SPARK_GRAFT_COLD=1 — drop the OS page cache (sync; echo 1 >
+  *    /proc/sys/vm/drop_caches) before EVERY timed serve, so each
+  *    serve pays real disk for every byte it touches — the cold-
+  *    object-storage analogue this box can produce;
+  *  - SPARK_GRAFT_NLISTS / SPARK_GRAFT_NPROBE — index geometry. The
+  *    default auto-geometry probes 4 of ~1400 lists (a few MiB after
+  *    pruning — prune-bound, not scan-bound); nLists=8, nProbe=4
+  *    makes the probed postings HALF THE CORPUS, the scan-bound shape
+  *    where the sig-vs-q8 byte ratio is the whole cost.
+  *
   * Usage:
   *   SPARK_GRAFT_SF_DIR=... SPARK_DRIVER_MEM=80g \
+  *     [SPARK_GRAFT_COLD=1 SPARK_GRAFT_NLISTS=8] \
   *     tools/run.sh graft.tools.ProbeFunnel
   */
 object ProbeFunnel {
@@ -45,7 +60,14 @@ object ProbeFunnel {
         if (m != null) inBytes.addAndGet(m.inputMetrics.bytesRead)
       }
     })
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    def dropCaches(): Unit = {
+      val rc = new ProcessBuilder("sh", "-c",
+        "sync; echo 1 > /proc/sys/vm/drop_caches").inheritIO().start().waitFor()
+      require(rc == 0, s"drop_caches failed (rc=$rc) — needs root")
+    }
     def time(label: String)(df: => DataFrame): Unit = {
+      if (cold) dropCaches()
       inBytes.set(0)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -57,20 +79,25 @@ object ProbeFunnel {
         f"read=${inBytes.get / (1 << 20)}MiB")
     }
 
+    val nLists = sys.env.getOrElse("SPARK_GRAFT_NLISTS", "-1").toInt
+    val nProbe = sys.env.getOrElse("SPARK_GRAFT_NPROBE", "4").toInt
+    val coarseK = sys.env.getOrElse("SPARK_GRAFT_COARSEK", "64").toInt
+    val rerankK = sys.env.getOrElse("SPARK_GRAFT_RERANKK", "32").toInt
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val ix = spark.conf.get("spark.sql.warehouse.dir")
       .stripSuffix("/") + "/graft_probe_funnel_ix"
     val t0 = System.nanoTime()
-    Similarity.buildIvfIndexInt8(emb, ix)
-    println(f"[probefunnel] index build (once): ${(System.nanoTime()-t0)/1e9}%.2f s")
+    val nl = Similarity.buildIvfIndexInt8(emb, ix, nLists = nLists)
+    println(f"[probefunnel] index build (once): ${(System.nanoTime()-t0)/1e9}%.2f s" +
+      s" nLists=$nl nProbe=$nProbe cold=$cold")
 
     (1 to 3).foreach { i =>
       time(s"serve int8   run $i")(
         Similarity.ivfTopKFromIndexInt8(spark, ix, emb, 5, 5,
-          nProbe = 4, rerankK = 32))
+          nProbe = nProbe, rerankK = rerankK))
       time(s"serve funnel run $i")(
         Similarity.ivfTopKFromIndexFunnel(spark, ix, emb, 5, 5,
-          nProbe = 4, coarseK = 64, rerankK = 32))
+          nProbe = nProbe, coarseK = coarseK, rerankK = rerankK))
     }
     spark.stop()
   }
