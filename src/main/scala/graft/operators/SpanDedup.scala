@@ -32,16 +32,32 @@ import graft.functions.TextAnalysis
   *    hash (gram strings never leave the map side); hash ≡ string
   *    identity up to 2⁻⁶⁴-scale collisions, the documented trade shared
   *    with the md5 fingerprint and the jaccard verify sets;
-  *  - occurrence marking is count/min over `Window.partitionBy(gh)` —
-  *    ONE corpus-sized shuffle and ONE gram build. The r5–r13 shape
-  *    (groupBy stats, then grams ⋈ stats) built the gram stream TWICE
-  *    (the agg-side exchange contains the partial agg, so ReuseExchange
-  *    can't unify it with the join-side exchange) and paid a sort-merge
-  *    join on top; the window shape measured 5.2× faster at sf100
-  *    (ProbeSpan r14: 94.2 s vs 493.0 s for the same marking answer).
-  *    WindowExec buffers one gh-group at a time in a spillable array,
-  *    so a pathological million-occurrence gram degrades to disk, not
-  *    OOM — the collect_list-per-gh alternative lacks that bound;
+  *  - occurrence marking picks its shape by a measured cost model
+  *    (r15, on the corpus gram count the checkpointed token arrays
+  *    yield for one cheap aggregate):
+  *
+  *    WINDOW (≥ [[WindowShapeMinGrams]] grams): count/min over
+  *    `Window.partitionBy(gh)` — ONE corpus-sized shuffle and ONE
+  *    gram build. At sf100's 233M gram keys the r5–r13 agg-join shape
+  *    spilled its hash tables and rebuilt the gram stream for the
+  *    join (the agg-side exchange contains the partial agg, so
+  *    ReuseExchange can't unify it with the join-side exchange);
+  *    the window shape measured 5.2× faster there (ProbeSpan r14:
+  *    94.2 s vs 493.0 s for the same marking answer). WindowExec
+  *    buffers one gh-group at a time in a spillable array, so a
+  *    pathological million-occurrence gram degrades to a serialized
+  *    single-task spillable sort, not OOM (SkewStressSpec pins the
+  *    concentration + exactness; ProbeSpanSkew measures the
+  *    straggler at 10⁷ occurrences) — the collect_list-per-gh
+  *    alternative lacks that bound;
+  *
+  *    AGG-JOIN (below the threshold): groupBy(gh) count/min stats,
+  *    then grams ⋈ dup-stats. While the gram hash tables FIT, the
+  *    partial agg collapses map-side and the join's second gram
+  *    build is cheaper than the window's mandatory per-partition
+  *    sort — measured 2.1× at sf10's 25M grams (9.5 vs 19.9 s,
+  *    the r14 crossover). Both shapes mark the identical occurrence
+  *    set (spec-pinned), so the switch is invisible to the answer;
   *  - covered/kept/rebuilt text are pure array expressions per document
   *    (`array_except`, never a per-position `array_contains` scan).
   */
@@ -49,6 +65,14 @@ object SpanDedup {
 
   /** Packs (doc_id, pos) into the BIGINT first-occurrence key. */
   private val PosStride = 1L << 20
+
+  /** Gram count at which the window shape takes over from agg-join.
+    * Bracketed by measurement, not fitted: agg-join wins at 25M grams
+    * (sf10, 2.1×), window wins at 233M (sf100, 2.0× fresh-JVM) — the
+    * boundary is where the groupBy(gh) hash tables outgrow executor
+    * memory and the agg starts spilling + sort-merging, which on this
+    * box's 32-partition/80 g shape sits between those readings. */
+  private[graft] val WindowShapeMinGrams = 100000000L
 
   /** `(doc_id, n_tokens, n_removed, deduped_text)` — every input row
     * appears exactly once; a document containing no duplicated span (or
@@ -58,9 +82,31 @@ object SpanDedup {
     * set, not a sum). */
   def removeDuplicateSpans(docs: DataFrame, l: Int): DataFrame = {
     require(l >= 2, s"span length must be >= 2 tokens, got $l")
-    val toks = docs.select(col("doc_id"),
+    val toks = tokenized(docs)
+    // cost-model input: one cheap aggregate over the already-
+    // checkpointed token arrays (no re-tokenize, no gram build)
+    val nGrams = toks
+      .agg(sum(greatest(size(col("t")) - (l - 1), lit(0))))
+      .head().getLong(0)
+    pipeline(toks, l, useWindow = nGrams >= WindowShapeMinGrams)
+  }
+
+  /** Shape-forced variant — the test/probe seam that pins both
+    * marking shapes to the identical answer (SpanDedupSpec) and lets
+    * ProbeSpanSkew measure each under a hot gram. */
+  private[graft] def removeDuplicateSpansShape(docs: DataFrame, l: Int,
+                                               useWindow: Boolean): DataFrame = {
+    require(l >= 2, s"span length must be >= 2 tokens, got $l")
+    pipeline(tokenized(docs), l, useWindow)
+  }
+
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))
       .localCheckpoint()
+
+  private def pipeline(toks: DataFrame, l: Int,
+                       useWindow: Boolean): DataFrame = {
     // (doc, start, gram-hash, packed first-occurrence key); sequence()
     // counts DOWN for docs shorter than l, so guard to an empty array.
     val grams = toks
@@ -69,14 +115,25 @@ object SpanDedup {
             sequence(lit(1), size(col("t")) - (l - 1)))
           .otherwise(array().cast("array<int>"))).as("p"))
       .select(col("doc_id"), col("p"),
-        graft.plans.Tok64Hash.tok64Col(docs.sparkSession,
+        graft.plans.Tok64Hash.tok64Col(toks.sparkSession,
           concat_ws(" ", slice(col("t"), col("p"), lit(l)))).as("gh"))
       .withColumn("k", col("doc_id") * PosStride + col("p"))
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    val starts = grams
-      .withColumn("cnt", count(lit(1)).over(byGram))
-      .withColumn("first_k", min(col("k")).over(byGram))
-      .where(col("cnt") >= 2 && col("k") =!= col("first_k"))
+    val marked =
+      if (useWindow) {
+        val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+        grams
+          .withColumn("cnt", count(lit(1)).over(byGram))
+          .withColumn("first_k", min(col("k")).over(byGram))
+          .where(col("cnt") >= 2 && col("k") =!= col("first_k"))
+      } else {
+        val dupStats = grams.groupBy("gh")
+          .agg(count(lit(1)).as("cnt"), min(col("k")).as("first_k"))
+          .where(col("cnt") >= 2)
+          .select("gh", "first_k")
+        grams.join(dupStats, Seq("gh"))
+          .where(col("k") =!= col("first_k"))
+      }
+    val starts = marked
       .groupBy("doc_id").agg(collect_list(col("p")).as("starts"))
     toks.join(starts, Seq("doc_id"), "left")
       .withColumn("covered", array_distinct(flatten(transform(

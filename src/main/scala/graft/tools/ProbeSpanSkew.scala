@@ -79,9 +79,16 @@ object ProbeSpanSkew {
     }
 
     (1 to rounds).foreach { i =>
-      time(s"baseline run $i")(SpanDedup.removeDuplicateSpans(docs, 10))
-      time(s"hot-gram run $i")(
-        SpanDedup.removeDuplicateSpans(docs.unionByName(hot), 10))
+      time(s"window  baseline run $i")(
+        SpanDedup.removeDuplicateSpansShape(docs, 10, useWindow = true))
+      time(s"window  hot-gram run $i")(
+        SpanDedup.removeDuplicateSpansShape(docs.unionByName(hot), 10,
+          useWindow = true))
+      time(s"aggjoin baseline run $i")(
+        SpanDedup.removeDuplicateSpansShape(docs, 10, useWindow = false))
+      time(s"aggjoin hot-gram run $i")(
+        SpanDedup.removeDuplicateSpansShape(docs.unionByName(hot), 10,
+          useWindow = false))
       System.gc()
     }
     spark.stop()

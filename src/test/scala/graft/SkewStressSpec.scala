@@ -106,7 +106,10 @@ class SkewStressSpec extends SparkSpec {
     val docs = (Seq(hotA, hotB) ++ cold).toDF("doc_id", "text")
     withoutAqe {
       val tasks = heavyStageTasks(5000L) {
-        val out = SpanDedup.removeDuplicateSpans(docs, l)
+        // force the window shape: at this corpus size the cost model
+        // dispatches to agg-join, and the concentration under test is
+        // specifically the window shape's
+        val out = SpanDedup.removeDuplicateSpansShape(docs, l, useWindow = true)
           .collect().map(r => r.getLong(0) ->
             ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
         // globally-first occurrence is (doc 0, pos 1): doc 0 keeps one

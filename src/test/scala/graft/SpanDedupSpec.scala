@@ -60,4 +60,28 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(2L)._3 == "" && out(2L)._2 == 0L)
     assert(out(3L)._3 == "" && out(3L)._2 == 0L)
   }
+
+  test("span dedup: the two marking shapes (window / agg-join) produce " +
+    "the identical answer, so the cost-model switch is invisible") {
+    // a corpus exercising every rule at once: cross-doc dup, within-doc
+    // repeat, overlapping covers, a unique doc, a short doc
+    val d = docs(
+      1L -> "a b c d e f g h i j tail one",
+      2L -> "x a b c d e f g h i j y",
+      3L -> "m n o p q m n o p q m n o p q",
+      4L -> (1 to 30).map(i => s"u$i").mkString(" "),
+      5L -> "too short")
+    val l = 5
+    def collect(useWindow: Boolean) =
+      SpanDedup.removeDuplicateSpansShape(d, l, useWindow)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val w = collect(useWindow = true)
+    val a = collect(useWindow = false)
+    assert(w === a)
+    // and the public auto-dispatching entry agrees (tiny corpus ->
+    // agg-join branch)
+    val auto = SpanDedup.removeDuplicateSpans(d, l)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(auto === w)
+  }
 }
