@@ -86,25 +86,38 @@ object Manifest {
 
   /** Committed snapshot of `dir`: the latest manifest's files if one
     * exists, else the plain directory (file-level atomicity only —
-    * the pre-manifest contract). */
+    * the pre-manifest contract). `basePath` makes partition-dir
+    * values (`k=v` path components of a [[publishPartitionUpsert]]
+    * table) resolve into columns exactly as a plain directory read
+    * would. */
   def read(spark: SparkSession, dir: String): DataFrame =
     latest(spark, dir) match {
       case Some((_, files)) if files.nonEmpty =>
-        spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+        spark.read.option("basePath", dir)
+          .parquet(files.map(f => s"$dir/$f"): _*)
       case Some((_, _)) => // committed-empty snapshot: zero files
         spark.emptyDataFrame
       case None => spark.read.parquet(dir)
     }
 
-  /** Visible (non-hidden) top-level data files of `dir` — the set a
-    * plain `spark.read.parquet(dir)` would scan. Used to adopt a
+  /** Visible (non-hidden, recursively) data files of `dir`, as
+    * `dir`-relative paths — the set a plain `spark.read.parquet(dir)`
+    * would scan, partition subdirs included. Used to adopt a
     * pre-manifest table on its first manifested publish. */
   private def plainListing(fs: FileSystem, root: Path): Seq[String] =
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map(_.getPath.getName)
+    else {
+      val base = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val rel = it.next().getPath.toUri.getPath
+          .stripPrefix(base).stripPrefix("/")
+        if (rel.split("/").forall(c =>
+          !c.startsWith("_") && !c.startsWith("."))) out += rel
+      }
+      out.result()
+    }
 
   /** Stage `df`'s part files into `<dir>/.stage-<uuid>`, move them to
     * the top level, return their names. */
@@ -180,6 +193,54 @@ object Manifest {
     }
     val moved = stageIn(df, dir)
     commit(fs, root, v0 + 1, base ++ moved)
+    v0 + 1
+  }
+
+  /** Publish `df` as a PARTITION UPSERT (the dynamic
+    * `partitionOverwriteMode` / Delta `replaceWhere` analogue,
+    * atomically): the new snapshot keeps every committed file EXCEPT
+    * those under the partition directories `df` carries rows for,
+    * which are replaced by `df`'s files — and the swap is one
+    * manifest rename, so a concurrent reader sees the whole table
+    * before or the whole table after, never a half-replaced
+    * partition. Superseded files remain until [[vacuum]]. Returns
+    * the committed version. */
+  def publishPartitionUpsert(df: DataFrame, dir: String,
+                             cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "publishPartitionUpsert needs partition columns")
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, dir)
+    val (v0, base) = latest(spark, dir) match {
+      case Some((v, files)) => (v, files)
+      case None =>
+        val adopted = plainListing(fs, root)
+        commit(fs, root, 1L, adopted)
+        (1L, adopted)
+    }
+    val stage = new Path(root,
+      ".stage-" + java.util.UUID.randomUUID().toString)
+    df.write.partitionBy(cols: _*).parquet(stage.toString)
+    val stageBase = fs.makeQualified(stage).toUri.getPath.stripSuffix("/")
+    val moved = Seq.newBuilder[String]
+    val replaced = scala.collection.mutable.Set[String]()
+    val it = fs.listFiles(stage, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      val rel = p.toUri.getPath.stripPrefix(stageBase).stripPrefix("/")
+      if (rel.split("/").forall(c =>
+        !c.startsWith("_") && !c.startsWith("."))) {
+        replaced += rel.split("/").init.mkString("/")
+        val dst = new Path(root, rel)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(p, dst),
+          s"Manifest: staging move failed: $p -> $dst")
+        moved += rel
+      }
+    }
+    fs.delete(stage, true)
+    val kept = base.filterNot(f =>
+      replaced.exists(pre => f.startsWith(pre + "/")))
+    commit(fs, root, v0 + 1, kept ++ moved.result())
     v0 + 1
   }
 

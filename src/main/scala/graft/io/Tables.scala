@@ -162,6 +162,18 @@ object Tables {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(cols: _*).parquet(path)
 
+  /** S8, atomic — the same partition-upsert semantics published
+    * through a [[Manifest]] commit: a concurrent [[readTable]] reader
+    * sees the whole table before or after the swap, never a
+    * half-replaced partition (the plain dynamic overwrite deletes and
+    * rewrites partition dirs in place). Superseded files remain until
+    * [[Manifest.vacuum]]. */
+  def upsertPartitionsAtomic(df: DataFrame, path: String,
+                             cols: Seq[String]): Unit = {
+    Manifest.publishPartitionUpsert(df, path, cols)
+    ()
+  }
+
   /** S8/T2 — keyed MERGE upsert: the Delta `MERGE ON keys` shape
     * (SURVEY §2.10 maps the reference's per-delivery upsert,
     * ex_match_rb.py:201-221, to it). For each source row, the matching

@@ -97,6 +97,37 @@ class ManifestSpec extends SparkSpec {
     assert(rows(dir) === (0L until 6L).toSet)
   }
 
+  test("partition upsert replaces exactly the incoming partitions in one " +
+    "commit; a mid-upsert reader sees the whole old table") {
+    val dir = freshDir("upsert")
+    val t0 = Seq((1L, "p1"), (2L, "p1"), (3L, "p2"), (4L, "p2"))
+      .toDF("id", "part")
+    // adopt a PLAIN partitioned table (pre-manifest) on first upsert
+    t0.write.partitionBy("part").parquet(dir)
+    val v = Manifest.publishPartitionUpsert(
+      Seq((30L, "p2"), (50L, "p3")).toDF("id", "part"), dir, Seq("part"))
+    assert(v === 2L) // v1 = adoption, v2 = the upsert
+    def snap(): Map[String, Set[Long]] =
+      Manifest.read(spark, dir).collect()
+        .groupBy(_.getString(1)).view
+        .mapValues(_.map(_.getLong(0)).toSet).toMap
+    // p1 untouched, p2 replaced (3,4 -> 30), p3 new
+    assert(snap() === Map("p1" -> Set(1L, 2L), "p2" -> Set(30L),
+      "p3" -> Set(50L)))
+    // mid-upsert simulation: files of a THIRD upsert land on disk
+    // (plain append into the partition dir) with no commit — the
+    // manifested reader still sees the committed snapshot
+    Seq((99L, "p1")).toDF("id", "part")
+      .write.mode(SaveMode.Append).partitionBy("part").parquet(dir)
+    assert(snap() === Map("p1" -> Set(1L, 2L), "p2" -> Set(30L),
+      "p3" -> Set(50L)))
+    // vacuum reclaims both the replaced p2 files and the orphan
+    Manifest.vacuum(spark, dir)
+    assert(spark.read.parquet(dir).count() === 4L)
+    assert(snap() === Map("p1" -> Set(1L, 2L), "p2" -> Set(30L),
+      "p3" -> Set(50L)))
+  }
+
   test("readTable resolves manifests; writeGoldAtomic publishes through " +
     "one") {
     val dir = freshDir("gold")
