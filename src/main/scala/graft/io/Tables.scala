@@ -379,10 +379,16 @@ object Tables {
     * At 100 TB: shard count = id-domain/width regardless of executor
     * count; per-task sorts are spillable; a consumer needing global
     * order streams dirs in shard order, one needing a slice opens only
-    * its shards. Skew: a hot keyA window inflates its shard — width is
-    * the caller's knob (ids here are dense and uniform). Contract:
-    * keyA must be a non-negative integral id (`div` truncates toward
-    * zero, which is floor only for non-negatives). */
+    * its shards. Pick width so the SHARD COUNT IS SEVERAL TIMES the
+    * shuffle parallelism: shards land on tasks by hash, and k shards
+    * into k partitions leaves ~1/e of the tasks empty while others
+    * sort two or three shards (balls-in-bins) — at ≥8× partitions the
+    * law of large numbers balances the exchange like a range
+    * partitioner would, without its sampling job. Skew: a hot keyA
+    * window inflates its shard — width is the same knob (ids here are
+    * dense and uniform). Contract: keyA must be a non-negative
+    * integral id (`div` truncates toward zero, which is floor only
+    * for non-negatives). */
   def writeShardedPairs(pairs: DataFrame, path: String, shardWidth: Long,
                         keyA: String = "doc_a", keyB: String = "doc_b"): Unit = {
     require(shardWidth >= 1, s"shardWidth must be >= 1, got $shardWidth")

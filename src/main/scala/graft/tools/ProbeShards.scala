@@ -43,7 +43,10 @@ object ProbeShards {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
-    val width = math.max(1L, nDocs / 256) // ~256 shards
+    // shard count ≫ shuffle parallelism (see writeShardedPairs: k
+    // shards hashed into k partitions leaves ~1/e of tasks empty)
+    val nShards = sys.env.getOrElse("SPARK_GRAFT_SHARDS", "2048").toLong
+    val width = math.max(1L, nDocs / nShards)
     def pairs: DataFrame =
       Dedup.minhashLshPairs(docs, 0.9, bands = 8, rows = 8)
 
