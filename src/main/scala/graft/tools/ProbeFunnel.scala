@@ -83,9 +83,31 @@ object ProbeFunnel {
     val nProbe = sys.env.getOrElse("SPARK_GRAFT_NPROBE", "4").toInt
     val coarseK = sys.env.getOrElse("SPARK_GRAFT_COARSEK", "64").toInt
     val rerankK = sys.env.getOrElse("SPARK_GRAFT_RERANKK", "32").toInt
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val ix = spark.conf.get("spark.sql.warehouse.dir")
-      .stripSuffix("/") + "/graft_probe_funnel_ix"
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    // SPARK_GRAFT_REPLICATE=N: blow the corpus up N× (vec_id remapped,
+    // replica 0 keeps the original ids so the query side is unchanged)
+    // and MATERIALIZE it sorted by vec_id — sf100's 2M×64d postings are
+    // ~100 MB, which any disk serves in well under a second even cold;
+    // the scan-bound regime needs postings whose cold read time
+    // dominates the serve.
+    val repl = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "1").toInt
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = if (repl <= 1) emb0 else {
+      val scratch = s"$warehouse/graft_probe_funnel_emb"
+      val n = emb0.count()
+      import spark.implicits._
+      val t = System.nanoTime()
+      emb0.crossJoin((0 until repl).toDF("r"))
+        .select((col("vec_id") + col("r").cast("long") * n).as("vec_id"),
+          col("embedding"))
+        .repartitionByRange(256, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(scratch)
+      println(f"[probefunnel] replicated ${repl}x to $scratch: " +
+        f"${(System.nanoTime() - t) / 1e9}%.1f s")
+      spark.read.parquet(scratch)
+    }
+    val ix = warehouse + "/graft_probe_funnel_ix"
     val t0 = System.nanoTime()
     val nl = Similarity.buildIvfIndexInt8(emb, ix, nLists = nLists)
     println(f"[probefunnel] index build (once): ${(System.nanoTime()-t0)/1e9}%.2f s" +
@@ -98,6 +120,16 @@ object ProbeFunnel {
       time(s"serve funnel run $i")(
         Similarity.ivfTopKFromIndexFunnel(spark, ix, emb, 5, 5,
           nProbe = nProbe, coarseK = coarseK, rerankK = rerankK))
+    }
+    // reclaim the synthetic corpus + its index (tens of GB at high
+    // replication factors)
+    if (repl > 1) {
+      val fs = new org.apache.hadoop.fs.Path(warehouse)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$warehouse/graft_probe_funnel_emb"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ix), true)
+      ()
     }
     spark.stop()
   }
