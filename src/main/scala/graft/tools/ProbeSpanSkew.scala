@@ -61,12 +61,35 @@ object ProbeSpanSkew {
       .select("doc_id", "text")
     val maxId = docs.agg(max("doc_id")).head().getLong(0)
     import spark.implicits._
-    val hotText = Seq.fill(hotToks)("zq").mkString(" ")
-    val hot = (1 to hotDocs)
-      .map(i => (maxId + i, hotText)).toDF("doc_id", "text")
-    val occ = hotDocs.toLong * (hotToks - 10 + 1)
-    println(s"[probespanskew] injecting $hotDocs docs x $hotToks tokens " +
-      s"= $occ occurrences of ONE gram")
+    // SPARK_GRAFT_HOTMODE=concentrated (default): few giant docs that
+    // are one token repeated — stresses the window sort AND the
+    // per-document explode/rebuild (the rebuild cost is shape-
+    // independent, so this mode UNDERSTATES any marking fix).
+    // SPARK_GRAFT_HOTMODE=spread: the realistic boilerplate case —
+    // many NORMAL-sized docs sharing one hot l-gram ("all rights
+    // reserved …"), so per-doc costs parallelize and the single-task
+    // window sort is the only straggler.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_HOTMODE", "concentrated")
+    val hot =
+      if (mode == "spread") {
+        val nSpread = sys.env.getOrElse("SPARK_GRAFT_HOTSPREAD",
+          "4000000").toInt
+        val hotGram = (0 until 10).map(i => s"hz$i").mkString(" ")
+        // 12-token docs: positions 2-3's grams carry the per-doc
+        // unique suffix, so exactly ONE hot occurrence per doc
+        spark.range(1, nSpread + 1)
+          .select((col("id") + maxId).as("doc_id"),
+            concat_ws(" ", lit(hotGram),
+              concat(lit("u"), col("id")),
+              concat(lit("w"), col("id"))).as("text"))
+      } else {
+        val hotText = Seq.fill(hotToks)("zq").mkString(" ")
+        (1 to hotDocs).map(i => (maxId + i, hotText)).toDF("doc_id", "text")
+      }
+    val occ = if (mode == "spread")
+        sys.env.getOrElse("SPARK_GRAFT_HOTSPREAD", "4000000").toLong
+      else hotDocs.toLong * (hotToks - 10 + 1)
+    println(s"[probespanskew] mode=$mode: ~$occ occurrences of ONE gram")
 
     def time(label: String)(df: => DataFrame): Unit = {
       maxTaskMs.set(0)
@@ -79,14 +102,19 @@ object ProbeSpanSkew {
     }
 
     (1 to rounds).foreach { i =>
-      time(s"window  baseline run $i")(
+      time(s"window  baseline       run $i")(
         SpanDedup.removeDuplicateSpansShape(docs, 10, useWindow = true))
-      time(s"window  hot-gram run $i")(
+      // raw = guard disabled: the unprotected single-task sort
+      time(s"window  hot-gram RAW   run $i")(
+        SpanDedup.removeDuplicateSpansShape(docs.unionByName(hot), 10,
+          useWindow = true, hotMinSampled = Long.MaxValue))
+      // guarded (production defaults): the sampled heavy-hitter route
+      time(s"window  hot-gram GUARD run $i")(
         SpanDedup.removeDuplicateSpansShape(docs.unionByName(hot), 10,
           useWindow = true))
-      time(s"aggjoin baseline run $i")(
+      time(s"aggjoin baseline       run $i")(
         SpanDedup.removeDuplicateSpansShape(docs, 10, useWindow = false))
-      time(s"aggjoin hot-gram run $i")(
+      time(s"aggjoin hot-gram       run $i")(
         SpanDedup.removeDuplicateSpansShape(docs.unionByName(hot), 10,
           useWindow = false))
       System.gc()

@@ -129,6 +129,53 @@ class SkewStressSpec extends SparkSpec {
     }
   }
 
+  test("span-dedup hot-gram guard: forced-on guard, raw window and " +
+    "agg-join mark the identical answer (first-occurrence rule included)") {
+    import graft.operators.SpanDedup
+    val l = 10
+    val hotA = (0L, Seq.fill(3000)("x").mkString(" "))
+    val hotB = (1L, Seq.fill(3000)("x").mkString(" "))
+    val cold = (2L until 202L).map(d =>
+      (d, (0 until 20).map(i => s"u${d}_$i").mkString(" ")))
+    // one CROSS-DOC duplicated cold span too, so the guarded run
+    // exercises hot and window marking in the same answer
+    val dupSpan = (0 until l).map(i => s"dup_$i").mkString(" ")
+    val docs = (Seq(hotA, hotB,
+        (202L, dupSpan), (203L, dupSpan)) ++ cold).toDF("doc_id", "text")
+    def answer(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // stride 1 samples every occurrence; minSampled 2 makes every
+    // duplicated gram "hot" — the guard's broadcast arm carries the
+    // whole answer, the window arm only unique grams
+    val guarded = answer(SpanDedup.removeDuplicateSpansShape(docs, l,
+      useWindow = true, hotStride = 1, hotMinSampled = 2L))
+    val raw = answer(SpanDedup.removeDuplicateSpansShape(docs, l,
+      useWindow = true, hotMinSampled = Long.MaxValue))
+    val aggjoin = answer(SpanDedup.removeDuplicateSpansShape(docs, l,
+      useWindow = false))
+    assert(guarded === raw)
+    assert(guarded === aggjoin)
+    // the structural claim: under the guard no single task of the
+    // (gh, salt) window shuffle owns the hot gram — its ~5982
+    // occurrences spread over HotGramSalts salted keys (the raw-window
+    // sibling test above pins the opposite for the unguarded shape)
+    withoutAqe {
+      val tasks = heavyStageTasks(5000L) {
+        SpanDedup.removeDuplicateSpansShape(docs, l,
+          useWindow = true, hotStride = 1, hotMinSampled = 2L).collect()
+        ()
+      }
+      assert(maxOverMean(tasks) <= 2.0,
+        s"hot gram re-concentrated under the salt: $tasks")
+    }
+    // the rule itself: globally-first copy survives, later ones do not
+    assert(guarded(0L) === ((3000L, 2999L, "x")))
+    assert(guarded(1L) === ((3000L, 3000L, "")))
+    assert(guarded(202L) === ((l.toLong, 0L, dupSpan)))
+    assert(guarded(203L) === ((l.toLong, l.toLong, "")))
+  }
+
   test("cappedPerKey stage-1 window spreads the hot key over the salts") {
     withoutAqe {
       // the full 20.2k rows never reach the wire: Spark's partial
