@@ -65,6 +65,18 @@ object ProbeFunnel {
       val rc = new ProcessBuilder("sh", "-c",
         "sync; echo 1 > /proc/sys/vm/drop_caches").inheritIO().start().waitFor()
       require(rc == 0, s"drop_caches failed (rc=$rc) — needs root")
+      // drop_caches also evicts the mmapped SPARK JARS and class
+      // files; without re-warming them the timed serve measures a
+      // code-page fault storm, not postings IO (the first cold run of
+      // this probe read 7-11 MiB yet swung 35-241 s — jar faults, not
+      // data). Re-read code pages so the ONLY cold bytes are the
+      // index's.
+      new ProcessBuilder("sh", "-c",
+        "cat /opt/spark/jars/*.jar > /dev/null 2>&1; " +
+        "find /root/repo/target/scala-2.13/classes -type f " +
+        "-exec cat {} + > /dev/null 2>&1")
+        .start().waitFor()
+      ()
     }
     def time(label: String)(df: => DataFrame): Unit = {
       if (cold) dropCaches()
@@ -112,6 +124,15 @@ object ProbeFunnel {
     val nl = Similarity.buildIvfIndexInt8(emb, ix, nLists = nLists)
     println(f"[probefunnel] index build (once): ${(System.nanoTime()-t0)/1e9}%.2f s" +
       s" nLists=$nl nProbe=$nProbe cold=$cold")
+    // the regime is only as real as the probed lists are big: a skewed
+    // Lloyd assignment can leave the probed lists near-empty while the
+    // bulk sits in one giant list (the first cold run read 7-11 MiB
+    // instead of the intended half-corpus) — print the distribution so
+    // the scan-bound claim is checkable from the log
+    graft.io.Manifest.read(spark, s"$ix/postings_q")
+      .groupBy("list_id").count().orderBy("list_id").collect()
+      .foreach(r => println(
+        s"[probefunnel] list ${r.getInt(0)}: ${r.getLong(1)} rows"))
 
     (1 to 3).foreach { i =>
       time(s"serve int8   run $i")(

@@ -146,8 +146,8 @@ class SkewStressSpec extends SparkSpec {
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     // stride 1 samples every occurrence; minSampled 2 makes every
-    // duplicated gram "hot" — the guard's broadcast arm carries the
-    // whole answer, the window arm only unique grams
+    // duplicated gram "hot" — the salted arm carries the whole
+    // answer, the unsalted (salt 0) keys only unique grams
     val guarded = answer(SpanDedup.removeDuplicateSpansShape(docs, l,
       useWindow = true, hotStride = 1, hotMinSampled = 2L))
     val raw = answer(SpanDedup.removeDuplicateSpansShape(docs, l,
