@@ -200,16 +200,26 @@ object Bench {
         0.0
       } else times.sorted.apply(times.size / 2)
     }
+    // per-query progress on stderr: a sweep cut by wall-clock (the r15
+    // sf100 incident — ~75 min of a ~2.5 h sweep lost with no partial
+    // data, Bench's JSON prints only at the end) still leaves every
+    // completed query's steady in the log
+    def progress(name: String, v: Double): Double = {
+      System.err.println(f"[bench] done $name: $v%.2f s")
+      v
+    }
     val lightResults = lightQ.map { case (name, fn) =>
       maybeGc()
-      name -> (if (forkSet(name)) forkOne(name) else median3(name, fn))
+      name -> progress(name,
+        if (forkSet(name)) forkOne(name) else median3(name, fn))
     }
     val heavyResults = heavyQ.map { case (name, fn) =>
       maybeGc()
-      if (forkSet(name)) name -> forkOne(name)
+      if (forkSet(name)) name -> progress(name, forkOne(name))
       else {
         if (!single) once(name, fn) // untimed prime
-        name -> (if (failed(name)) 0.0 else median3(name, fn))
+        name -> progress(name,
+          if (failed(name)) 0.0 else median3(name, fn))
       }
     }
     val results = lightResults ++ heavyResults
