@@ -344,10 +344,19 @@ object Tables {
   def writeTrainingShards(df: DataFrame, path: String, orderCol: String,
                           recordsPerShard: Int): Unit = {
     require(recordsPerShard >= 1, s"recordsPerShard must be >= 1")
-    df.orderBy(orderCol)
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", recordsPerShard.toLong)
-      .parquet(path)
+    // manifest-gated (r15 verdict #3): the shards stage under
+    // `.stage-*` and publish as ONE commit — a reader concurrent with
+    // a re-delivery resolves whole-old or whole-new, never a torn
+    // shard set. Superseded shard files remain until Manifest.vacuum;
+    // a consumer listing the directory RAW after a re-delivery must
+    // vacuum first (manifest-resolving readers need not).
+    Manifest.publishOverwriteStaged(df.sparkSession, path,
+      Some(df.schema)) { stage =>
+      df.orderBy(orderCol)
+        .write.option("maxRecordsPerFile", recordsPerShard.toLong)
+        .parquet(stage)
+    }
+    ()
   }
 
   /** Sharded delivery for PAIR-SCALE answers (near-duplicate pairs:
@@ -393,12 +402,30 @@ object Tables {
                         keyA: String = "doc_a", keyB: String = "doc_b"): Unit = {
     require(shardWidth >= 1, s"shardWidth must be >= 1, got $shardWidth")
     import org.apache.spark.sql.functions.{col, expr}
-    pairs
-      .withColumn("__shard", expr(s"$keyA div $shardWidth"))
-      .repartition(col("__shard"))
-      .sortWithinPartitions("__shard", keyA, keyB)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("__shard").parquet(path)
+    // manifest-gated (r15 verdict #3): shard files stage under
+    // `.stage-*` (relative `pair_shard=N/part-*` paths preserved by the
+    // move) and publish as ONE commit — a reader concurrent with a
+    // re-delivery resolves whole-old or whole-new, never a torn shard
+    // set, and the commit adds no data movement. After a RE-delivery
+    // the one-file-per-shard-dir property holds for the manifest's
+    // listing, not the raw directory, until Manifest.vacuum reclaims
+    // the superseded files.
+    // the shard column/dir is `pair_shard=N`, NOT underscore-prefixed:
+    // `_`-prefixed names are HIDDEN to Spark's path listing (the same
+    // filter that hides `_manifests`), so the pre-r16 `__shard=N`
+    // layout was invisible to any plain directory read — and to the
+    // staged move. Caught by ShardedPairsSpec's manifest-gating case.
+    require(!pairs.columns.contains("pair_shard"),
+      "writeShardedPairs: input already has a pair_shard column")
+    Manifest.publishOverwriteStaged(pairs.sparkSession, path,
+      Some(pairs.schema)) { stage =>
+      pairs
+        .withColumn("pair_shard", expr(s"$keyA div $shardWidth"))
+        .repartition(col("pair_shard"))
+        .sortWithinPartitions("pair_shard", keyA, keyB)
+        .write.partitionBy("pair_shard").parquet(stage)
+    }
+    ()
   }
 
   /** S12 — table existence probe (ex_match_bs.py:452-457; the local

@@ -158,6 +158,9 @@ object SpanDedup {
                        hotMinSampled: Long = HotGramMinSampled): DataFrame = {
     require(hotMinSampled >= 2L,
       "hotMinSampled must be >= 2: one sampled occurrence cannot certify a duplicate")
+    require(hotStride >= 1,
+      s"hotStride must be >= 1 (pmod by a non-positive stride is null," +
+        s" which would silently disable the guard), got $hotStride")
     val spark = toks.sparkSession
     // occurrence stream before the gram hash — the guard's sample
     // filter runs HERE so only 1/stride of positions pay slice+hash
@@ -176,23 +179,31 @@ object SpanDedup {
     val marked =
       if (useWindow) {
         val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-        // hot-gram guard (see HotGramStride): sampled heavy hitters are
-        // certain duplicates — spread them over a salted window key so
-        // no single task sorts all their occurrences
-        val hotGhs = positions
-          .where(pmod(hash(col("doc_id"), col("p")), lit(hotStride)) === 0)
-          .select(gh)
-          .groupBy("gh").agg(count(lit(1)).as("scnt"))
-          .where(col("scnt") >= hotMinSampled)
-          .select("gh")
-          .localCheckpoint()
         def windowMarked(g: DataFrame): DataFrame = g
           .withColumn("cnt", count(lit(1)).over(byGram))
           .withColumn("first_k", min(col("k")).over(byGram))
           .where(col("cnt") >= 2 && col("k") =!= col("first_k"))
           .select("doc_id", "p")
-        if (hotGhs.isEmpty) windowMarked(grams)
-        else {
+        // hot-gram guard (see HotGramStride): sampled heavy hitters are
+        // certain duplicates — spread them over a salted window key so
+        // no single task sorts all their occurrences. A sentinel
+        // threshold of Long.MaxValue disables the guard ENTIRELY —
+        // including this sampling pre-pass — so a probe's raw-window
+        // arm times exactly the unguarded r14 plan, not plan + pre-pass
+        // (ADVICE r15).
+        val hotGhs =
+          if (hotMinSampled == Long.MaxValue) None
+          else Some(positions
+            .where(pmod(hash(col("doc_id"), col("p")), lit(hotStride)) === 0)
+            .select(gh)
+            .groupBy("gh").agg(count(lit(1)).as("scnt"))
+            .where(col("scnt") >= hotMinSampled)
+            .select("gh")
+            .localCheckpoint())
+            .filterNot(_.isEmpty)
+        hotGhs match {
+          case None => windowMarked(grams)
+          case Some(hotGhs) =>{
           // SALTED TWO-LEVEL WINDOW — still ONE gram build and ONE
           // corpus-sized shuffle (the broadcast-route alternative that
           // rebuilt the gram stream per arm measured 2.2-2.7x WORSE
@@ -224,14 +235,18 @@ object SpanDedup {
               when(hot && col("k") === col("min1"), col("gh")).as("wgh"),
               col("k"))
             .localCheckpoint()
+          // losers among the per-salt winners: `out` already carries
+          // their (doc_id, p) columns — select them directly instead of
+          // decoding the packed key (the k-div decode widened doc_id to
+          // LongType and forced a union-side cast; ADVICE r15)
           val winnerLosers = out.where(col("wgh").isNotNull)
             .withColumn("gmin", min(col("k")).over(
               org.apache.spark.sql.expressions.Window.partitionBy("wgh")))
             .where(col("k") =!= col("gmin"))
-            .select(expr(s"k div $PosStride").as("doc_id"),
-              pmod(col("k"), lit(PosStride)).cast("int").as("p"))
+            .select("doc_id", "p")
           out.where(col("wgh").isNull).select("doc_id", "p")
             .unionByName(winnerLosers)
+        }
         }
       } else {
         val dupStats = grams.groupBy("gh")

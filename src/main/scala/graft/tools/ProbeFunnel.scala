@@ -70,25 +70,61 @@ object ProbeFunnel {
       // code-page fault storm, not postings IO (the first cold run of
       // this probe read 7-11 MiB yet swung 35-241 s — jar faults, not
       // data). Re-read code pages so the ONLY cold bytes are the
-      // index's.
-      new ProcessBuilder("sh", "-c",
-        "cat /opt/spark/jars/*.jar > /dev/null 2>&1; " +
-        "find /root/repo/target/scala-2.13/classes -type f " +
-        "-exec cat {} + > /dev/null 2>&1")
-        .start().waitFor()
-      ()
+      // index's. Paths come from the RUNNING JVM (java.class.path +
+      // java.home), not hardcoded dirs (ADVICE r15: the hardcoded
+      // variant silently no-opped on any other layout), and a rewarm
+      // that read implausibly little fails loudly.
+      var warmed = 0L
+      val buf = new Array[Byte](1 << 20)
+      def slurp(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(slurp)
+        else if (f.isFile) {
+          val in = new java.io.FileInputStream(f)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { warmed += n; n = in.read(buf) }
+          } finally in.close()
+        }
+      (System.getProperty("java.class.path", "").split(":").toSeq ++
+        Seq(System.getProperty("java.home", "")))
+        .filter(_.nonEmpty).foreach(p => slurp(new java.io.File(p)))
+      // the Spark jars alone are >300 MiB; reading under 64 MiB means
+      // the classpath didn't resolve to real files and cold serves
+      // would quietly regress into the jar-fault-storm regime
+      require(warmed >= (64L << 20),
+        f"code-page rewarm read only ${warmed / (1 << 20)}%d MiB — " +
+          "classpath did not resolve to readable jars/classes; cold " +
+          "timings would measure code faults, not postings IO")
     }
+    // honest cold-byte measurement: task-metric bytesRead under-reports
+    // on file:// (r15: 7 MiB reported for ~10M-row postings scans), so
+    // also read /proc/diskstats sectors-read (whole physical devices)
+    // around the timed window — after drop+rewarm, the delta IS the
+    // serve's real disk traffic
+    def sectorsRead(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/diskstats")
+        try src.getLines()
+          .map(_.trim.split("\\s+"))
+          .filter(f => f.length > 5 &&
+            f(2).matches("(sd[a-z]+|vd[a-z]+|nvme\\d+n\\d+|xvd[a-z]+)"))
+          .map(_(5).toLong).sum
+        finally src.close()
+      } catch { case _: java.io.IOException => -1L }
     def time(label: String)(df: => DataFrame): Unit = {
       if (cold) dropCaches()
       inBytes.set(0)
+      val d0 = sectorsRead()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      val diskMiB =
+        if (d0 < 0) -1L else (sectorsRead() - d0) * 512L / (1 << 20)
       // deterministic drain: a fixed sleep can miss late TaskEnd
       // events on a loaded box (r14 advice) and skew the MiB compare
       org.apache.spark.graftprobe.ListenerDrain.drain(spark.sparkContext)
       println(f"[probefunnel] $label: $sec%.2f s " +
-        f"read=${inBytes.get / (1 << 20)}MiB")
+        f"read=${inBytes.get / (1 << 20)}MiB disk=${diskMiB}MiB")
     }
 
     val nLists = sys.env.getOrElse("SPARK_GRAFT_NLISTS", "-1").toInt
@@ -134,7 +170,10 @@ object ProbeFunnel {
       .foreach(r => println(
         s"[probefunnel] list ${r.getInt(0)}: ${r.getLong(1)} rows"))
 
-    (1 to 3).foreach { i =>
+    // ≥5 runs per arm, ALTERNATING (r15 verdict #6: 3 runs under this
+    // box's ~5x cold spread cannot support a median claim)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
+    (1 to runs).foreach { i =>
       time(s"serve int8   run $i")(
         Similarity.ivfTopKFromIndexInt8(spark, ix, emb, 5, 5,
           nProbe = nProbe, rerankK = rerankK))

@@ -128,6 +128,86 @@ class ManifestSpec extends SparkSpec {
       "p3" -> Set(50L)))
   }
 
+  test("a committed-EMPTY snapshot keeps the table's schema: overwrite-" +
+    "to-empty then readTable then select succeeds with 0 rows") {
+    val dir = freshDir("empty")
+    Manifest.publishOverwrite(df(0 until 5), dir)
+    Manifest.publishOverwrite(df(0 until 5).where("id < 0"), dir)
+    val emptied = graft.io.Tables.readTable(spark, dir)
+    // the r15 hole: this select failed analysis on the zero-column
+    // emptyDataFrame fallback
+    assert(emptied.select("id").count() === 0L)
+    assert(emptied.schema.fieldNames.toSeq === Seq("id"))
+    // and a later overwrite revives the table normally
+    Manifest.publishOverwrite(df(7 until 9), dir)
+    assert(rows(dir) === Set(7L, 8L))
+  }
+
+  test("commit is a TRUE create-exclusive CAS: a held lock (writer " +
+    "crashed or racing between lock and rename) always throws; vacuum " +
+    "clears it and the retry succeeds") {
+    val dir = freshDir("lock")
+    Manifest.publishOverwrite(df(0 until 3), dir)
+    // simulate a writer that took lock-2 but never renamed its
+    // manifest: the next commit at v=2 must fail on the LOCK (the
+    // rename target does not exist, so the exists() probe alone —
+    // the pre-r16 best-effort detector — would have let it through)
+    val lock = Paths.get(dir, "_manifests", "lock-000000002")
+    Files.createFile(lock)
+    val e = intercept[IllegalStateException] {
+      Manifest.commitAt(spark, dir, 2L, Seq.empty)
+    }
+    assert(e.getMessage.contains("lock held"))
+    // the documented recovery: vacuum clears spent + dangling locks...
+    val deleted = Manifest.vacuum(spark, dir)
+    assert(deleted.exists(_.startsWith("lock-")))
+    assert(!Files.exists(lock))
+    // ...and the retry at the same version commits
+    val v = Manifest.publishAppend(df(3 until 5), dir)
+    assert(v === 2L)
+    assert(rows(dir) === (0L until 5L).toSet)
+  }
+
+  test("compact rewrites small-file groups into one committed swap: " +
+    "identical rows, monotone version, vacuum reclaims the originals") {
+    val dir = freshDir("compact")
+    (0 until 6).foreach(i => Manifest.publishAppend(df(i * 3 until i * 3 + 3), dir))
+    val (v0, files0) = Manifest.latest(spark, dir).get
+    assert(files0.size >= 6) // one+ file per append
+    val v1 = Manifest.compact(spark, dir, 64L << 20)
+    assert(v1 === v0 + 1)
+    val files1 = Manifest.latest(spark, dir).get._2
+    assert(files1.size === 1, s"expected one coalesced file, got $files1")
+    assert(rows(dir) === (0L until 18L).toSet)
+    // superseded originals linger (old-snapshot readers unbroken)...
+    assert(spark.read.parquet(dir).count() === 36L)
+    // ...until vacuum; then the plain dir holds only the compacted file
+    Manifest.vacuum(spark, dir)
+    assert(spark.read.parquet(dir).count() === 18L)
+    assert(rows(dir) === (0L until 18L).toSet)
+    // idempotent: nothing left to compact -> same version back
+    assert(Manifest.compact(spark, dir, 64L << 20) === v1)
+  }
+
+  test("compact groups per partition dir: sibling files coalesce, " +
+    "partition values survive") {
+    val dir = freshDir("compactpart")
+    val t = Seq((1L, "p1"), (2L, "p1"), (3L, "p1"), (4L, "p2"))
+      .toDF("id", "part").repartition(4) // round-robin: 1 row/task -> 3 p1 files
+    Manifest.publishPartitionUpsert(t, dir, Seq("part"))
+    val before = Manifest.latest(spark, dir).get._2
+    assert(before.count(_.startsWith("part=p1/")) >= 2,
+      s"need multiple p1 files for the test to bite: $before")
+    Manifest.compact(spark, dir, 64L << 20)
+    val after = Manifest.latest(spark, dir).get._2
+    assert(after.count(_.startsWith("part=p1/")) === 1)
+    assert(after.forall(f => f.startsWith("part=p1/") || f.startsWith("part=p2/")),
+      s"compaction moved a file out of its partition dir: $after")
+    val snap = Manifest.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap === Set((1L, "p1"), (2L, "p1"), (3L, "p1"), (4L, "p2")))
+  }
+
   test("readTable resolves manifests; writeGoldAtomic publishes through " +
     "one") {
     val dir = freshDir("gold")

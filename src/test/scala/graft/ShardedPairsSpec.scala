@@ -23,8 +23,8 @@ class ShardedPairsSpec extends SparkSpec {
 
   private def shardDirs(path: String): Seq[(Long, File)] =
     new File(path).listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("__shard="))
-      .map(f => f.getName.stripPrefix("__shard=").toLong -> f)
+      .filter(f => f.isDirectory && f.getName.startsWith("pair_shard="))
+      .map(f => f.getName.stripPrefix("pair_shard=").toLong -> f)
       .sortBy(_._1)
 
   private def pinShape(pairs: org.apache.spark.sql.DataFrame,
@@ -84,5 +84,38 @@ class ShardedPairsSpec extends SparkSpec {
     }
     assert(concat === Seq((0L, 5L), (9L, 11L), (10L, 2L), (19L, 40L),
       (35L, 0L), (35L, 1L)))
+  }
+
+  test("re-delivery is manifest-gated: a reader mid-overwrite resolves " +
+    "the whole OLD delivery; the commit flips it whole; vacuum restores " +
+    "the raw one-file-per-shard layout") {
+    val v1 = Seq((0L, 1L, 1.0), (11L, 3L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val v2 = Seq((5L, 6L, 0.8), (25L, 7L, 0.7))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val path = Files.createTempDirectory("graft-sharded-redeliver").toString
+    Tables.writeShardedPairs(v1, path, 10L)
+    def snap(): Set[(Long, Long)] =
+      graft.io.Manifest.read(spark, path).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snap() === Set((0L, 1L), (11L, 3L)))
+    // mid-overwrite window: the re-delivery's shard files are ON DISK
+    // next to the old ones but its manifest rename has not happened —
+    // exactly what the directory holds between moveVisible and commit
+    v2.withColumn("pair_shard", expr("doc_a div 10"))
+      .write.mode("append").partitionBy("pair_shard").parquet(path)
+    assert(snap() === Set((0L, 1L), (11L, 3L)),
+      "uncommitted re-delivery files leaked into a manifest read")
+    // the real re-delivery: one commit flips the whole shard set
+    Tables.writeShardedPairs(v2, path, 10L)
+    assert(snap() === Set((5L, 6L), (25L, 7L)))
+    // superseded + orphaned files stay until vacuum; after it the RAW
+    // directory contract (one sorted file per shard dir) holds again
+    graft.io.Manifest.vacuum(spark, path)
+    val live = shardDirs(path)
+      .map { case (s, d) =>
+        s -> d.listFiles().count(_.getName.endsWith(".parquet")) }
+      .filter(_._2 > 0)
+    assert(live === Seq(0L -> 1, 2L -> 1))
   }
 }

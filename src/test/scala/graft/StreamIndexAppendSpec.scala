@@ -85,6 +85,24 @@ class StreamIndexAppendSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("partial overlap"))
     assert(spark.read.parquet(s"$dir/postings").count() === total)
+
+    // the many-batch stream accumulated one+ posting file per batch;
+    // compaction bounds the file count in ONE committed swap and the
+    // index answers are identical through it (r15 verdict #7)
+    val postingsDir = s"$dir/postings"
+    val preFiles = graft.io.Manifest.latest(spark, postingsDir).get._2.size
+    assert(preFiles >= 3, s"stream should have accumulated files: $preFiles")
+    graft.io.Manifest.compact(spark, postingsDir, 64L << 20)
+    val afterFiles = graft.io.Manifest.latest(spark, postingsDir).get._2.size
+    assert(afterFiles === 1, s"compaction left $afterFiles files")
+    val gotC = graft.io.Manifest.read(spark, postingsDir)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotC === expected, "compaction changed the postings answer")
+    // vacuum (exercised in anger: reclaims every superseded batch file)
+    val reclaimed = graft.io.Manifest.vacuum(spark, postingsDir)
+    assert(reclaimed.size >= preFiles - 1, s"vacuum reclaimed $reclaimed")
+    assert(Similarity.ivfTopKFromIndex(spark, dir, 5, 5).count() > 0L)
   }
 
   test("replay rail is multiplicity-proof: postings duplicated by a crashed " +
