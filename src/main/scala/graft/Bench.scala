@@ -15,6 +15,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded-id fetches (ANN rerank: vec_id isin over ~nQ·rerankK
+      // scattered ids) must push the real In SET to parquet: above this
+      // threshold Spark degrades In to a [min,max] range, which prunes
+      // no row group over scattered ids — measured at 20M vectors as a
+      // full-corpus cold read per serve (6.7 GiB -> 2.4 GiB with the
+      // set pushed; BASELINE.md r16)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       // ContextCleaner's own periodic driver GC (default 30 min): on a
       // >1 h at-scale sweep the explicit every-8-queries System.gc()
       // below still left enough un-reclaimed shuffle scratch on disk to

@@ -13,6 +13,13 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded-id fetches (ANN rerank: vec_id isin over ~nQ·rerankK
+      // scattered ids) must push the real In SET to parquet: above this
+      // threshold Spark degrades In to a [min,max] range, which prunes
+      // no row group over scattered ids — measured at 20M vectors as a
+      // full-corpus cold read per serve (6.7 GiB -> 2.4 GiB with the
+      // set pushed; BASELINE.md r16)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val name = args(0)

@@ -1061,6 +1061,13 @@ object Similarity {
       .localCheckpoint() // nQueries·rerankK rows; approx stage runs once
     val rerankIds = sel.select("neighbor_id").distinct()
       .collect().map(_.getLong(0)).toSeq
+    // this isin must reach parquet as the real In SET: with Spark's
+    // default inFilterThreshold (10) a >10-id In is pushed as the
+    // degenerate [min,max] range, which over scattered candidate ids
+    // prunes nothing — measured cold at 20M vectors as a full-corpus
+    // read per serve (ProbeFunnel r16: 6.7 GiB -> 2.4 GiB once the
+    // session raises the threshold past nQueries·rerankK; the graft
+    // session builders set 1024)
     val exact = v.where(col("vec_id").isin(rerankIds: _*))
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
         col("vv").as("cvv"))
@@ -1165,6 +1172,13 @@ object Similarity {
     // tier 3: exact cosine over full-precision vectors from the source
     val rerankIds = sel.select("neighbor_id").distinct()
       .collect().map(_.getLong(0)).toSeq
+    // this isin must reach parquet as the real In SET: with Spark's
+    // default inFilterThreshold (10) a >10-id In is pushed as the
+    // degenerate [min,max] range, which over scattered candidate ids
+    // prunes nothing — measured cold at 20M vectors as a full-corpus
+    // read per serve (ProbeFunnel r16: 6.7 GiB -> 2.4 GiB once the
+    // session raises the threshold past nQueries·rerankK; the graft
+    // session builders set 1024)
     val exact = v.where(col("vec_id").isin(rerankIds: _*))
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
         col("vv").as("cvv"))

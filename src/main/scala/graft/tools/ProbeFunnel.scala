@@ -50,6 +50,16 @@ object ProbeFunnel {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r16 hypothesis knob: the exact-rerank fetch is an isin over
+      // ~nQueries·rerankK scattered vec_ids; above Spark's parquet
+      // inFilterThreshold (default 10) the In predicate is pushed as
+      // a degenerate [min, max] RANGE, which over scattered ids prunes
+      // NOTHING — the cold serve then reads the whole source corpus
+      // (measured: ~6.7 GiB/serve ≈ corpus+index, BOTH arms, r16).
+      // Raising the threshold pushes the real value set so row groups
+      // prune on membership.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_INTHRESH", "10"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
