@@ -175,17 +175,32 @@ object Manifest {
     if (fs.exists(target)) throw new IllegalStateException(
       s"Manifest: concurrent commit detected at $target — " +
         "single-writer contract violated; vacuum and retry")
-    // TRUE local-FS CAS (r15 verdict #5): POSIX rename overwrites, so
-    // the exists() probe alone is a race window. create(overwrite =
-    // false) is atomic create-exclusive on every FS in play — the
-    // writer that loses the lock race ALWAYS throws, not just usually.
-    // A dangling lock (writer crashed between lock and rename) blocks
-    // retries at that version until [[vacuum]] clears it — the
-    // documented recovery path.
+    // Lock CAS (r15 verdict #5, hardened r17 per ADVICE): POSIX rename
+    // overwrites, so the exists() probe alone is a race window. On
+    // file:// the Hadoop local FS implements create(overwrite=false)
+    // as exists()-then-open — itself check-then-act — so the lock is
+    // taken with java.nio Files.createFile (O_EXCL, atomic at the
+    // syscall); on every other FS (HDFS, object stores' FS shims)
+    // fs.create(overwrite=false) is the FS's own atomic
+    // create-exclusive. Only the two FileAlreadyExists exception types
+    // mean "lock held" — any OTHER IO failure (permissions, disk
+    // full) propagates with its real cause instead of being
+    // misdiagnosed as a single-writer violation. A dangling lock
+    // (writer crashed between lock and rename) blocks retries at that
+    // version until [[vacuum]] clears it — the documented recovery
+    // path.
     val lock = new Path(mdir, f"$LockPrefix$v%09d")
     val locked =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      if (fs.getScheme == "file") {
+        val p = java.nio.file.Paths.get(
+          fs.makeQualified(lock).toUri.getPath)
+        try { java.nio.file.Files.createFile(p); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { fs.create(lock, false).close(); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          false }
+      }
     if (!locked) throw new IllegalStateException(
       s"Manifest: concurrent commit detected (lock held) at $lock — " +
         "single-writer contract violated; vacuum and retry")
@@ -291,6 +306,66 @@ object Manifest {
     moved.result()
   }
 
+  /** ONE-resolution multi-family read: resolve the latest snapshot of
+    * `dir` ONCE and return a DataFrame per `sub` holding exactly that
+    * snapshot's files under `sub/` — so two families read through the
+    * same call (an index's centroids + postings) can never mix
+    * commits, even when a writer republishes the whole dir between
+    * the family reads. Falls back per-sub to the plain subdirectory
+    * on a pre-manifest table (file-level atomicity only). */
+  def readUnder(spark: SparkSession, dir: String,
+                subs: Seq[String]): Seq[DataFrame] = {
+    val snap = latest(spark, dir).map(_._2)
+    subs.map { sub =>
+      snap match {
+        case Some(files) =>
+          val sel = files.filter(_.startsWith(sub + "/"))
+          require(sel.nonEmpty,
+            s"Manifest.readUnder: snapshot of $dir has no files under " +
+              s"$sub/ — was the table published with this family?")
+          spark.read.parquet(sel.map(f => s"$dir/$f"): _*)
+        case None => spark.read.parquet(s"$dir/$sub")
+      }
+    }
+  }
+
+  /** Publish `df` as an APPEND into the `sub/` family of the manifest
+    * rooted at `dir`: the new snapshot is the current committed set
+    * (every family) plus `df`'s files under `sub/`. The multi-family
+    * counterpart of [[publishAppend]] — one root manifest governs all
+    * families, so a [[readUnder]] reader sees every family from one
+    * commit. A pre-manifest dir is adopted whole (recursive listing)
+    * first. Returns the committed version. */
+  def publishAppendUnder(df: DataFrame, dir: String, sub: String): Long = {
+    require(sub.nonEmpty && !sub.contains("/") && !sub.startsWith("_") &&
+      !sub.startsWith("."), s"publishAppendUnder: bad family name '$sub'")
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, dir)
+    val (v0, base) = latest(spark, dir) match {
+      case Some((v, files)) => (v, files)
+      case None =>
+        val adopted = plainListing(fs, root)
+        commit(fs, root, 1L, adopted)
+        (1L, adopted)
+    }
+    val stage = new Path(root,
+      ".stage-" + java.util.UUID.randomUUID().toString)
+    df.write.parquet(stage.toString)
+    val subdir = new Path(root, sub)
+    fs.mkdirs(subdir)
+    val moved = fs.listStatus(stage).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map { s =>
+        val dst = new Path(subdir, s.getPath.getName)
+        require(fs.rename(s.getPath, dst),
+          s"Manifest: staging move failed: ${s.getPath} -> $dst")
+        sub + "/" + s.getPath.getName
+      }
+    fs.delete(stage, true)
+    commit(fs, root, v0 + 1, base ++ moved)
+    v0 + 1
+  }
+
   /** Publish `df` as a full OVERWRITE: the new snapshot is exactly
     * `df`'s files; superseded files remain until [[vacuum]]. Returns
     * the committed version. */
@@ -390,11 +465,23 @@ object Manifest {
     * manifest, plus abandoned `.stage-*` dirs. Returns what was
     * deleted. Requires at least one commit (without a manifest there
     * is no authority on what is garbage). NOT safe concurrent with a
-    * reader of a SUPERSEDED snapshot — same caveat as Delta VACUUM. */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+    * reader of a SUPERSEDED snapshot — same caveat as Delta VACUUM —
+    * and NOT safe concurrent with a live WRITER either: clearing the
+    * lock an in-flight writer holds (version latest+1, between its
+    * lock CAS and its manifest rename) re-opens the duplicate-commit
+    * window the lock exists to close. `danglingLockGraceMs` bounds
+    * that risk when vacuum must run unattended: locks AHEAD of the
+    * latest committed version (the only ones a live writer can hold)
+    * are kept unless older than the grace; spent locks (version ≤
+    * latest — a version is never re-committed) always delete. The
+    * default 0 preserves vacuum as the immediate crashed-writer
+    * recovery tool, under the single-writer contract that no writer
+    * is live while it runs. */
+  def vacuum(spark: SparkSession, dir: String,
+             danglingLockGraceMs: Long = 0L): Seq[String] = {
     val (fs, root) = fsOf(spark, dir)
-    val live = latest(spark, dir) match {
-      case Some((_, files)) => files.toSet
+    val (latestV, live) = latest(spark, dir) match {
+      case Some((v, files)) => (v, files.toSet)
       case None => throw new IllegalStateException(
         s"Manifest.vacuum: no manifest at $dir")
     }
@@ -408,12 +495,20 @@ object Manifest {
     deadStages.foreach(fs.delete(_, true))
     // commit locks: spent for committed versions (a version is never
     // re-committed), dangling for a crashed writer — vacuum IS the
-    // documented recovery that unblocks a retry at that version
+    // documented recovery that unblocks a retry at that version. A
+    // lock AHEAD of the latest commit may instead belong to a LIVE
+    // writer mid-commit; the grace (scaladoc) keeps those.
     val mdir = new Path(root, ManifestDir)
+    val now = System.currentTimeMillis()
     val deadLocks =
       if (!fs.exists(mdir)) Seq.empty
       else fs.listStatus(mdir).toSeq
         .filter(s => s.isFile && s.getPath.getName.startsWith(LockPrefix))
+        .filter { s =>
+          val v = s.getPath.getName.stripPrefix(LockPrefix)
+          val ahead = v.forall(_.isDigit) && v.toLong > latestV
+          !ahead || now - s.getModificationTime >= danglingLockGraceMs
+        }
         .map(_.getPath)
     deadLocks.foreach(fs.delete(_, false))
     deadFiles ++ (deadStages ++ deadLocks).map(_.getName)

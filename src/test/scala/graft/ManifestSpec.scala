@@ -208,6 +208,78 @@ class ManifestSpec extends SparkSpec {
     assert(snap === Set((1L, "p1"), (2L, "p1"), (3L, "p1"), (4L, "p2")))
   }
 
+  test("multi-family commits: readUnder resolves every family from ONE " +
+    "snapshot; a rebuild mid-flight can never mix families") {
+    val dir = freshDir("families")
+    // v1: both families written into one staged overwrite — the index
+    // build shape (centroids + postings swap together or not at all)
+    Manifest.publishOverwriteStaged(spark, dir) { stage =>
+      df(0 until 3).write.parquet(s"$stage/meta")
+      df(10 until 15).write.parquet(s"$stage/data")
+    }
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    val Seq(meta1, data1) = Manifest.readUnder(spark, dir, Seq("meta", "data"))
+    assert(ids(meta1) === Set(0L, 1L, 2L))
+    assert(ids(data1) === (10L until 15L).toSet)
+    // REBUILD publishes generation 2 of BOTH families in one commit
+    Manifest.publishOverwriteStaged(spark, dir) { stage =>
+      df(100 until 102).write.parquet(s"$stage/meta")
+      df(200 until 204).write.parquet(s"$stage/data")
+    }
+    // the reader that resolved BEFORE the rebuild holds the whole old
+    // generation — both families, no mixing (superseded files linger
+    // until vacuum, so its handles stay readable)
+    assert(ids(meta1) === Set(0L, 1L, 2L))
+    assert(ids(data1) === (10L until 15L).toSet)
+    // a fresh resolution is the whole new generation
+    val Seq(meta2, data2) = Manifest.readUnder(spark, dir, Seq("meta", "data"))
+    assert(ids(meta2) === Set(100L, 101L))
+    assert(ids(data2) === (200L until 204L).toSet)
+    // a family absent from the snapshot fails loudly, not empty-silently
+    val e = intercept[IllegalArgumentException] {
+      Manifest.readUnder(spark, dir, Seq("nosuch"))
+    }
+    assert(e.getMessage.contains("nosuch"))
+  }
+
+  test("publishAppendUnder grows ONE family under the root manifest; " +
+    "other families ride the same commit unchanged") {
+    val dir = freshDir("appendunder")
+    Manifest.publishOverwriteStaged(spark, dir) { stage =>
+      df(0 until 2).write.parquet(s"$stage/meta")
+      df(10 until 13).write.parquet(s"$stage/data")
+    }
+    val v = Manifest.publishAppendUnder(df(13 until 16).toDF(), dir, "data")
+    assert(v === 2L)
+    val Seq(meta, data) = Manifest.readUnder(spark, dir, Seq("meta", "data"))
+    assert(meta.count() === 2L)
+    assert(data.select("id").collect().map(_.getLong(0)).toSet ===
+      (10L until 16L).toSet)
+    // family names that would escape the layout are rejected
+    intercept[IllegalArgumentException] {
+      Manifest.publishAppendUnder(df(0 until 1).toDF(), dir, "a/b")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.publishAppendUnder(df(0 until 1).toDF(), dir, "_hidden")
+    }
+  }
+
+  test("vacuum lock grace: an AHEAD lock younger than the grace is kept " +
+    "(it may be a live writer's); spent locks always delete") {
+    val dir = freshDir("lockgrace")
+    Manifest.publishOverwrite(df(0 until 3), dir) // v1 (+ its spent lock)
+    val ahead = Paths.get(dir, "_manifests", "lock-000000002")
+    Files.createFile(ahead) // a writer mid-commit at v2
+    val kept = Manifest.vacuum(spark, dir, danglingLockGraceMs = 60000L)
+    assert(!kept.contains("lock-000000002") && Files.exists(ahead),
+      "vacuum deleted a within-grace ahead lock (live-writer window)")
+    assert(kept.contains("lock-000000001"), "spent lock should delete")
+    // default grace 0 = the immediate crashed-writer recovery tool
+    val cleared = Manifest.vacuum(spark, dir)
+    assert(cleared.contains("lock-000000002") && !Files.exists(ahead))
+  }
+
   test("readTable resolves manifests; writeGoldAtomic publishes through " +
     "one") {
     val dir = freshDir("gold")
