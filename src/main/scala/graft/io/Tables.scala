@@ -428,6 +428,41 @@ object Tables {
     ()
   }
 
+  /** The manifest-resolving CONSUMER of [[writeShardedPairs]] (ADVICE
+    * r16): the delivery's data files in ascending shard order — the
+    * exact concat-in-this-order file list that reproduces the global
+    * (keyA, keyB) sort. Resolving through the manifest (not a raw
+    * directory listing) makes the one-sorted-file-per-shard contract
+    * hold ACROSS re-deliveries: between a re-delivery's commit and a
+    * `Manifest.vacuum`, the raw directory holds both generations'
+    * shard files, but the committed snapshot names exactly the new
+    * ones. Returns absolute paths. */
+  def shardedPairFiles(spark: SparkSession, path: String): Seq[String] = {
+    val files = Manifest.latest(spark, path) match {
+      case Some((_, fs)) => fs
+      case None => throw new IllegalStateException(
+        s"shardedPairFiles: no manifest at $path — was the delivery " +
+          "written by writeShardedPairs?")
+    }
+    val Shard = "pair_shard=(-?\\d+)".r
+    files.map { f =>
+      f.split("/").collectFirst { case Shard(n) => n.toLong } match {
+        case Some(n) => (n, s"$path/$f")
+        case None => throw new IllegalStateException(
+          s"shardedPairFiles: non-shard file '$f' in the delivery snapshot")
+      }
+    }.sortBy(_._1).map(_._2)
+  }
+
+  /** The sharded delivery as ONE DataFrame in shard-resolved form:
+    * reads [[shardedPairFiles]]'s snapshot (partition-value column
+    * `pair_shard` included via basePath). Row order within a Spark
+    * read is not a contract — consumers needing the global order
+    * stream [[shardedPairFiles]] in sequence. */
+  def readShardedPairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path)
+      .parquet(shardedPairFiles(spark, path): _*)
+
   /** S12 — table existence probe (ex_match_bs.py:452-457; the local
     * `_delta_log` check in to_silver/slvr_match.py:242 becomes an
     * HDFS-API path probe). */

@@ -100,7 +100,18 @@ object Layout {
 
   /** Rewrite `df` to `dir` as parquet clustered on the Z-curve of
     * `cols`: `nFiles` range slices of the curve, rows sorted by zval
-    * within each. Row multiset is exactly preserved. */
+    * within each. Row multiset is exactly preserved.
+    *
+    * Manifest-gated (r16 verdict #2): the rewrite is the OPTIMIZE-style
+    * operation that replaces a whole table in place, so it stages under
+    * `.stage-*` and publishes through ONE
+    * [[graft.io.Manifest.publishOverwriteStaged]] commit — a reader
+    * resolving through [[graft.io.Manifest.read]] concurrent with a
+    * re-zorder sees the whole old layout or the whole new one, and a
+    * crash mid-rewrite can no longer lose the only clustered copy
+    * (`mode("overwrite")` deleted the target before writing).
+    * Superseded files remain until [[graft.io.Manifest.vacuum]]; plain
+    * directory readers of a RE-zordered table must vacuum first. */
   def zorderWrite(df: DataFrame, cols: Seq[String], dir: String,
                   nFiles: Int, bits: Int = 10,
                   relErr: Double = 1e-3): Unit = {
@@ -113,12 +124,16 @@ object Layout {
         "silently overwrite it and write the curve value out as user data")
     BucketSearch.register(df.sparkSession)
     val bnds = fitBoundaries(df, cols, bits, relErr)
-    val out = df.columns.map(col)
-    df.withColumn("__zval", zValue(df, cols, bnds, bits))
-      .repartitionByRange(nFiles, col("__zval"))
-      .sortWithinPartitions("__zval")
-      .select(out: _*)
-      .write.mode("overwrite").parquet(dir)
+    val out = df.columns.toIndexedSeq.map(col)
+    graft.io.Manifest.publishOverwriteStaged(df.sparkSession, dir,
+      Some(df.schema)) { stage =>
+      df.withColumn("__zval", zValue(df, cols, bnds, bits))
+        .repartitionByRange(nFiles, col("__zval"))
+        .sortWithinPartitions("__zval")
+        .select(out: _*)
+        .write.parquet(stage)
+    }
+    ()
   }
 
   /** Epoch-long order-embedding for a TIMESTAMP key that must also be

@@ -796,10 +796,17 @@ object Similarity {
     * everything [[ivfTopK]] does except the probe join) runs ONCE and
     * is amortized over every query batch served from the saved index;
     * re-fitting per query batch, which is what a fused build+query
-    * operator amounts to, cannot ship. Overwrite mode: a rebuild can
-    * never serve a stale index from an earlier corpus ([[ivfTopKFromIndex]]
-    * reads whatever is on disk, so build freshness is the caller's
-    * contract — the registry query rebuilds per run).
+    * operator amounts to, cannot ship.
+    *
+    * Commit protocol (r17): BOTH families publish through ONE
+    * [[graft.io.Manifest.publishOverwriteStaged]] commit on the index
+    * ROOT — a REBUILD over a live index swaps centroids + postings
+    * atomically, so a serve resolving through
+    * [[graft.io.Manifest.readUnder]] sees whole-old or whole-new,
+    * never a quantizer from one generation scoring postings from the
+    * other (the torn-index class IndexedIvfSpec pins). Superseded
+    * generation files remain until [[graft.io.Manifest.vacuum]] —
+    * run it after old-snapshot serves have drained.
     *
     * Everything stored is exact: IEEE doubles round-trip parquet
     * bit-for-bit, so an index-served query equals the in-memory
@@ -816,15 +823,46 @@ object Similarity {
     val nl = if (nLists > 0) nLists else autoNLists(n)
     val cents = lloydFit(v, nl, iters, maxFitRows, n)
     import spark.implicits._
-    cents.map { case (id, c, cc) => (id, c.toSeq, cc) }
-      .toDF("list_id", "cvec", "cc")
-      .coalesce(1) // metadata-scale: one footer beats 32 tiny files
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    assignLists(v, cents, iters)
-      .select(col("vec_id"), col("vec"), col("vv"), col("list_id"))
-      .repartition(col("list_id"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
+    graft.io.Manifest.publishOverwriteStaged(spark, dir) { stage =>
+      cents.map { case (id, c, cc) => (id, c.toSeq, cc) }
+        .toDF("list_id", "cvec", "cc")
+        .coalesce(1) // metadata-scale: one footer beats 32 tiny files
+        .write.parquet(s"$stage/centroids")
+      assignLists(v, cents, iters)
+        .select(col("vec_id"), col("vec"), col("vv"), col("list_id"))
+        .repartition(col("list_id"))
+        .write.parquet(s"$stage/postings")
+    }
     cents.size
+  }
+
+  /** Collected centroid table of an index snapshot (metadata-scale —
+    * the same ≤ cap-row driver footprint the fit had). */
+  private def collectCents(df: DataFrame): Seq[(Int, Array[Double], Double)] =
+    df.select("list_id", "cvec", "cc").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  /** ADVICE r16: a bounded-id `isin` only prunes row groups when the
+    * set reaches parquet as a real In predicate — above the session's
+    * `spark.sql.parquet.pushdown.inFilterThreshold` Spark degrades it
+    * to the [min,max] range, which over scattered ids prunes NOTHING
+    * and silently returns the full-corpus cold read the graft session
+    * builders' threshold=1024 exists to prevent. Warn loudly when a
+    * serve geometry outgrows the session's threshold, so the
+    * regression is visible in the log instead of only in the bytes. */
+  private[graft] def warnInOverflow(spark: SparkSession, n: Int,
+                                    site: String): Boolean = {
+    val thr = spark.conf
+      .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt
+    val overflow = n > thr
+    if (overflow) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"$site pushes $n ids but " +
+        s"spark.sql.parquet.pushdown.inFilterThreshold=$thr: the In " +
+        "set degrades to a no-op [min,max] range pushdown and the " +
+        "fetch scans the full corpus — raise the threshold above the " +
+        "id count (BASELINE.md r16)")
+    overflow
   }
 
   /** Serve IVF top-k from a saved index ([[buildIvfIndex]]) — the
@@ -849,13 +887,13 @@ object Similarity {
   def ivfTopKFromIndex(spark: SparkSession, dir: String, nQueries: Int,
                        k: Int, nProbe: Int = 4): DataFrame = {
     val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select("list_id", "cvec", "cc").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1).toSeq
-    // manifest-resolving read: serves the last COMMITTED snapshot even
-    // while a concurrent (single-writer) append is mid-flight
-    val post = graft.io.Manifest.read(spark, s"$dir/postings")
+    // ONE manifest resolution for BOTH families: the quantizer and the
+    // postings it scores always come from the same committed snapshot,
+    // even while a concurrent (single-writer) append or rebuild is
+    // mid-flight (r17 — the per-family reads could mix generations)
+    val Seq(centDf, post) =
+      graft.io.Manifest.readUnder(spark, dir, Seq("centroids", "postings"))
+    val cents = collectCents(centDf)
     val q = post.where(col("vec_id") < nQueries)
     val probes = q.withColumn("p",
         explode(slice(array_sort(scoresCol(q, cents)), 1, nProbe)))
@@ -872,6 +910,7 @@ object Similarity {
     // the serve plan's pushed filters inspectable (IndexedIvfSpec).
     val probedIds = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
+    warnInOverflow(spark, probedIds.size, "ivfTopKFromIndex probed-list fetch")
     val cand = post.where(col("vec_id") >= nQueries &&
         col("list_id").isin(probedIds: _*))
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
@@ -897,7 +936,9 @@ object Similarity {
     * derived from the centroids with `iters` Lloyd rounds, so a
     * mismatch would route borderline vectors differently than the
     * build did. New postings land as additional list_id-clustered
-    * parquet files, committed through [[graft.io.Manifest]].
+    * parquet files under the `postings/` family, committed through the
+    * index ROOT's manifest ([[graft.io.Manifest.publishAppendUnder]] —
+    * the same one-snapshot root every serve resolves).
     *
     * Concurrent-reader contract (pinned by StreamIndexAppendSpec +
     * ManifestSpec): SINGLE WRITER, manifest-resolving readers. The
@@ -906,10 +947,10 @@ object Similarity {
     * through [[graft.io.Manifest.read]]) sees the pre-append snapshot
     * until the commit and the whole batch after it: BATCH-level
     * all-or-nothing visibility, the r14 verdict's torn-read class
-    * closed. A pre-manifest index (plain [[buildIvfIndex]] output) is
-    * adopted on its first append; until then readers fall back to the
-    * plain directory listing, whose guarantee is only file-level
-    * atomicity. Concurrent WRITERS remain outside the contract —
+    * closed. A pre-manifest index dir is adopted whole (recursive
+    * listing, both families) on its first append; until then readers
+    * fall back to the plain directory listing, whose guarantee is only
+    * file-level atomicity. Concurrent WRITERS remain outside the contract —
     * serialize appends (the streaming tail's foreachBatch already
     * does); an accidental second writer fails loudly on the manifest
     * version CAS.
@@ -923,13 +964,15 @@ object Similarity {
   def appendToIvfIndex(emb: DataFrame, dir: String, iters: Int = 2): Long = {
     val spark = emb.sparkSession
     val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select("list_id", "cvec", "cc").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1).toSeq
+    // same single-resolution rule as the serves: the quantizer that
+    // assigns this batch and the postings the dup rail probes come
+    // from ONE committed snapshot of the index root
+    val Seq(centDf, postDf) =
+      graft.io.Manifest.readUnder(spark, dir, Seq("centroids", "postings"))
+    val cents = collectCents(centDf)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("vv", ndot(col("vec"), col("vec")))
-    val dups = graft.io.Manifest.read(spark, s"$dir/postings")
+    val dups = postDf
       .select("vec_id")
       .join(v.select("vec_id"), "vec_id").limit(5)
       .collect().map(_.getLong(0))
@@ -940,7 +983,7 @@ object Similarity {
       .select(col("vec_id"), col("vec"), col("vv"), col("list_id"))
       .repartition(col("list_id"))
       .localCheckpoint() // one computation feeds both the write + count
-    graft.io.Manifest.publishAppend(rows, s"$dir/postings")
+    graft.io.Manifest.publishAppendUnder(rows, dir, "postings")
     rows.count()
   }
 
@@ -971,30 +1014,34 @@ object Similarity {
     val nl = if (nLists > 0) nLists else autoNLists(n)
     val cents = lloydFit(v, nl, iters, maxFitRows, n)
     import spark.implicits._
-    cents.map { case (id, c, cc) => (id, c.toSeq, cc) }
-      .toDF("list_id", "cvec", "cc")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    // scale STAGED as its own projected attribute (the r12
-    // interpreted-HOF rule — inlined into the quantizing lambda it
-    // would re-run the O(d) array_max per element); it stays staged
-    // because it is consumed twice (output column + lambda).
-    // `sig` (the ⌈d/64⌉-long sign pack) rides along: ~1/4 the size of
-    // q8, it is the funnel's coarse tier ([[ivfTopKFromIndexFunnel]]),
-    // and parquet column pruning keeps the plain int8 serve path from
-    // ever reading it.
-    graft.plans.SignPack.register(spark)
-    assignLists(v, cents, iters)
-      .select(col("vec_id"), col("vec"), col("vv"), col("list_id"))
-      .withColumn("scale",
-        greatest(array_max(transform(col("vec"), x => abs(x))), lit(1e-30)))
-      .select(col("vec_id"), col("vv"), col("list_id"), col("scale"),
-        transform(col("vec"),
-          x => floor(x / col("scale") * 127 + lit(0.5)).cast("int"))
-          .as("q8"),
-        graft.plans.SignPack.packCol(col("vec")).as("sig"))
-      .repartition(col("list_id"))
-      .write.mode("overwrite").parquet(s"$dir/postings_q")
+    // one staged root commit for BOTH families — the [[buildIvfIndex]]
+    // rebuild-atomicity contract, same rationale
+    graft.io.Manifest.publishOverwriteStaged(spark, dir) { stage =>
+      cents.map { case (id, c, cc) => (id, c.toSeq, cc) }
+        .toDF("list_id", "cvec", "cc")
+        .coalesce(1)
+        .write.parquet(s"$stage/centroids")
+      // scale STAGED as its own projected attribute (the r12
+      // interpreted-HOF rule — inlined into the quantizing lambda it
+      // would re-run the O(d) array_max per element); it stays staged
+      // because it is consumed twice (output column + lambda).
+      // `sig` (the ⌈d/64⌉-long sign pack) rides along: ~1/4 the size of
+      // q8, it is the funnel's coarse tier ([[ivfTopKFromIndexFunnel]]),
+      // and parquet column pruning keeps the plain int8 serve path from
+      // ever reading it.
+      graft.plans.SignPack.register(spark)
+      assignLists(v, cents, iters)
+        .select(col("vec_id"), col("vec"), col("vv"), col("list_id"))
+        .withColumn("scale",
+          greatest(array_max(transform(col("vec"), x => abs(x))), lit(1e-30)))
+        .select(col("vec_id"), col("vv"), col("list_id"), col("scale"),
+          transform(col("vec"),
+            x => floor(x / col("scale") * 127 + lit(0.5)).cast("int"))
+            .as("q8"),
+          graft.plans.SignPack.packCol(col("vec")).as("sig"))
+        .repartition(col("list_id"))
+        .write.parquet(s"$stage/postings_q")
+    }
     cents.size
   }
 
@@ -1032,10 +1079,10 @@ object Similarity {
       rerankK: Int = 64): DataFrame = {
     val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
     val ndotId = graft.plans.DotIntDouble.dotIdCol(spark, _: Column, _: Column)
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select("list_id", "cvec", "cc").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1).toSeq
+    // one snapshot resolution for quantizer + postings (r17)
+    val Seq(centDf, postQ) = graft.io.Manifest.readUnder(spark, dir,
+      Seq("centroids", "postings_q"))
+    val cents = collectCents(centDf)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("vv", ndot(col("vec"), col("vec")))
     val q = v.where(col("vec_id") < nQueries && col("vv").isNotNull)
@@ -1045,7 +1092,9 @@ object Similarity {
         col("vv").as("qvv"), col("p.id").as("list_id"))
     val probedIds = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cand = graft.io.Manifest.read(spark, s"$dir/postings_q")
+    warnInOverflow(spark, probedIds.size,
+      "ivfTopKFromIndexInt8 probed-list fetch")
+    val cand = postQ
       .where(col("vec_id") >= nQueries &&
         col("list_id").isin(probedIds: _*))
       .select(col("vec_id").as("neighbor_id"), col("q8"), col("scale"),
@@ -1067,7 +1116,9 @@ object Similarity {
     // prunes nothing — measured cold at 20M vectors as a full-corpus
     // read per serve (ProbeFunnel r16: 6.7 GiB -> 2.4 GiB once the
     // session raises the threshold past nQueries·rerankK; the graft
-    // session builders set 1024)
+    // session builders set 1024, and [[warnInOverflow]] flags a
+    // geometry that outgrows the session's setting)
+    warnInOverflow(spark, rerankIds.size, "ivfTopKFromIndexInt8 rerank fetch")
     val exact = v.where(col("vec_id").isin(rerankIds: _*))
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
         col("vv").as("cvv"))
@@ -1119,10 +1170,10 @@ object Similarity {
     graft.plans.Hamming.register(spark)
     val ndot = graft.plans.DotProduct.dotCol(spark, _: Column, _: Column)
     val ndotId = graft.plans.DotIntDouble.dotIdCol(spark, _: Column, _: Column)
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select("list_id", "cvec", "cc").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1).toSeq
+    // one snapshot resolution for quantizer + postings (r17)
+    val Seq(centDf, post) = graft.io.Manifest.readUnder(spark, dir,
+      Seq("centroids", "postings_q"))
+    val cents = collectCents(centDf)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("vv", ndot(col("vec"), col("vec")))
     val q = v.where(col("vec_id") < nQueries && col("vv").isNotNull)
@@ -1134,7 +1185,8 @@ object Similarity {
         col("p.id").as("list_id"))
     val probedIds = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val post = graft.io.Manifest.read(spark, s"$dir/postings_q")
+    warnInOverflow(spark, probedIds.size,
+      "ivfTopKFromIndexFunnel probed-list fetch")
     // tier 1: the corpus-sized scan touches only the sig column of the
     // probed lists' row groups (pushed isin + parquet column pruning)
     val coarse = post.where(col("vec_id") >= nQueries &&
@@ -1156,6 +1208,7 @@ object Similarity {
     // ADC fetch at probed-lists scale instead of corpus scale.
     val survIds = survivors.select("neighbor_id").distinct()
       .collect().map(_.getLong(0)).toSeq
+    warnInOverflow(spark, survIds.size, "ivfTopKFromIndexFunnel ADC fetch")
     val adcCand = post.where(col("list_id").isin(probedIds: _*) &&
         col("vec_id").isin(survIds: _*))
       .select(col("vec_id").as("neighbor_id"), col("q8"), col("scale"),
@@ -1178,7 +1231,10 @@ object Similarity {
     // prunes nothing — measured cold at 20M vectors as a full-corpus
     // read per serve (ProbeFunnel r16: 6.7 GiB -> 2.4 GiB once the
     // session raises the threshold past nQueries·rerankK; the graft
-    // session builders set 1024)
+    // session builders set 1024, and [[warnInOverflow]] flags a
+    // geometry that outgrows the session's setting)
+    warnInOverflow(spark, rerankIds.size,
+      "ivfTopKFromIndexFunnel rerank fetch")
     val exact = v.where(col("vec_id").isin(rerankIds: _*))
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
         col("vv").as("cvv"))

@@ -1015,6 +1015,11 @@ object LlmQueries {
         val ix = s.conf.get("spark.sql.warehouse.dir")
           .stripSuffix("/") + "/graft_ivf_index"
         Similarity.buildIvfIndex(embeddings(s, dir), ix)
+        // the staged rebuild (r17) keeps the previous generation's
+        // files for old-snapshot readers; this bench/verify REBUILD
+        // context has none, so reclaim them or repeat runs into the
+        // persistent warehouse accumulate superseded generations
+        graft.io.Manifest.vacuum(s, ix)
         Similarity.ivfTopKFromIndex(s, ix, 5, 5)
           .orderBy("query_id", "rank")
       },
@@ -1034,6 +1039,7 @@ object LlmQueries {
         val ix = s.conf.get("spark.sql.warehouse.dir")
           .stripSuffix("/") + "/graft_ivf_index_q8"
         Similarity.buildIvfIndexInt8(embeddings(s, dir), ix)
+        graft.io.Manifest.vacuum(s, ix) // reclaim the superseded build
         Similarity.ivfTopKFromIndexInt8(s, ix, embeddings(s, dir), 5, 5,
             nProbe = 4, rerankK = 32)
           .orderBy("query_id", "rank")
@@ -1054,6 +1060,7 @@ object LlmQueries {
         val ix = s.conf.get("spark.sql.warehouse.dir")
           .stripSuffix("/") + "/graft_ivf_index_funnel"
         Similarity.buildIvfIndexInt8(embeddings(s, dir), ix)
+        graft.io.Manifest.vacuum(s, ix) // reclaim the superseded build
         Similarity.ivfTopKFromIndexFunnel(s, ix, embeddings(s, dir), 5, 5,
             nProbe = 4, coarseK = 64, rerankK = 32)
           .orderBy("query_id", "rank")

@@ -884,8 +884,12 @@ object RelationalQueries {
         val nf = s.conf.get("spark.sql.shuffle.partitions").toInt.max(32)
         graft.operators.Layout.zorderWrite(src,
           Seq("l_orderkey", "l_shipdate"), out, nFiles = nf)
+        // the staged rewrite (r17) keeps the superseded layout for
+        // old-snapshot readers; this rebuild context has none, so
+        // reclaim it (repeat runs write into a persistent warehouse)
+        graft.io.Manifest.vacuum(s, out)
         val mo = src.agg(max("l_orderkey")).head().getLong(0)
-        s.read.parquet(out)
+        graft.io.Manifest.read(s, out)
           .where(col("l_orderkey").between(mo / 4, mo / 2) &&
             col("l_shipdate").between(
               lit("1996-01-01").cast("date"),

@@ -48,7 +48,8 @@ object StreamIndexAppend {
     val ids = batch.select("vec_id").distinct()
     val n = ids.count()
     if (n == 0L) return 0L
-    val present = graft.io.Manifest.read(spark, s"$dir/postings")
+    val present = graft.io.Manifest
+      .readUnder(spark, dir, Seq("postings")).head
       .select("vec_id")
       .join(broadcast(ids), Seq("vec_id"), "left_semi").distinct().count()
     if (present == n) return 0L // clean replay: converge, don't crash

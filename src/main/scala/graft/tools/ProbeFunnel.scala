@@ -168,6 +168,7 @@ object ProbeFunnel {
     val ix = warehouse + "/graft_probe_funnel_ix"
     val t0 = System.nanoTime()
     val nl = Similarity.buildIvfIndexInt8(emb, ix, nLists = nLists)
+    graft.io.Manifest.vacuum(spark, ix) // reclaim any superseded build
     println(f"[probefunnel] index build (once): ${(System.nanoTime()-t0)/1e9}%.2f s" +
       s" nLists=$nl nProbe=$nProbe cold=$cold")
     // the regime is only as real as the probed lists are big: a skewed
@@ -175,7 +176,7 @@ object ProbeFunnel {
     // bulk sits in one giant list (the first cold run read 7-11 MiB
     // instead of the intended half-corpus) — print the distribution so
     // the scan-bound claim is checkable from the log
-    graft.io.Manifest.read(spark, s"$ix/postings_q")
+    graft.io.Manifest.readUnder(spark, ix, Seq("postings_q")).head
       .groupBy("list_id").count().orderBy("list_id").collect()
       .foreach(r => println(
         s"[probefunnel] list ${r.getInt(0)}: ${r.getLong(1)} rows"))

@@ -90,6 +90,8 @@ object ProbeZorder {
 
     timed(s"write zorder(l_orderkey,l_shipdate) nFiles=$nFiles") {
       Layout.zorderWrite(li, Seq("l_orderkey", "l_shipdate"), zDir, nFiles)
+      // plain-read probes below need the dir listing == the snapshot
+      graft.io.Manifest.vacuum(spark, zDir)
     }
     timed(s"write linear(l_orderkey) nFiles=$nFiles") {
       li.repartitionByRange(nFiles, col("l_orderkey"))

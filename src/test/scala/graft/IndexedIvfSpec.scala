@@ -51,6 +51,10 @@ class IndexedIvfSpec extends SparkSpec {
 
   test("index layout: metadata-scale centroids, postings clustered by list_id") {
     val nl = Similarity.buildIvfIndex(emb, ixDir)
+    // earlier tests rebuilt into the same dir; the staged rebuild keeps
+    // superseded generations until vacuum, and the PLAIN subdir reads
+    // below must see exactly the live snapshot
+    graft.io.Manifest.vacuum(spark, ixDir)
     val cents = spark.read.parquet(s"$ixDir/centroids")
     assert(cents.count() === nl.toLong)
     assert(cents.columns.sorted === Array("cc", "cvec", "list_id"))
@@ -75,6 +79,9 @@ class IndexedIvfSpec extends SparkSpec {
     val a = emb.where(col("vec_id") < cut)
     val b = emb.where(col("vec_id") >= cut)
     Similarity.buildIvfIndex(a, dir) // quantizer fit on A only
+    // the plain subdir reads below need the dir listing == the live
+    // snapshot (staged rebuilds keep prior runs' generations around)
+    graft.io.Manifest.vacuum(spark, dir)
     val appended = Similarity.appendToIvfIndex(b, dir)
     assert(appended === total - cut)
     // postings after append == assignment of the FULL corpus with the
@@ -109,7 +116,9 @@ class IndexedIvfSpec extends SparkSpec {
     "index; practical rerank holds recall") {
     val dir = ixDir + "_int8"
     Similarity.buildIvfIndex(emb, ixDir)
+    graft.io.Manifest.vacuum(spark, ixDir) // dirBytes below needs live-only
     Similarity.buildIvfIndexInt8(emb, dir)
+    graft.io.Manifest.vacuum(spark, dir)
     val full = Similarity.ivfTopKFromIndex(spark, ixDir, 5, 5)
       .orderBy("query_id", "rank").collect().toSeq
     // rerankK ≥ any per-query candidate count → every candidate is
@@ -172,5 +181,43 @@ class IndexedIvfSpec extends SparkSpec {
     val fullSet = full.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = practical.intersect(fullSet).size.toDouble / fullSet.size
     assert(recall >= 0.6, s"funnel recall@5 = $recall")
+  }
+
+  test("a REBUILD swaps centroids + postings in ONE root commit: a serve " +
+    "resolved before it answers from the whole old generation, a fresh " +
+    "serve from the whole new one — never a mix (r16 verdict #3)") {
+    val dir = ixDir + "_rebuild"
+    val total = emb.count()
+    Similarity.buildIvfIndex(emb.where(col("vec_id") < total / 2), dir)
+    val v1 = graft.io.Manifest.latest(spark, dir).get._1
+    // the serve path's own read: ONE snapshot resolution for both
+    // families (this is what a serve concurrent with the rebuild holds)
+    val Seq(c1, p1) = graft.io.Manifest
+      .readUnder(spark, dir, Seq("centroids", "postings"))
+    val oldCents = c1.select("list_id", "cvec").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    val oldPost = p1.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(oldPost.size.toLong === total / 2)
+    // REBUILD over the live index: different corpus -> different
+    // quantizer AND different postings
+    Similarity.buildIvfIndex(emb, dir)
+    // exactly ONE version advanced — there is no intermediate commit
+    // where one family is new and the other old
+    assert(graft.io.Manifest.latest(spark, dir).get._1 === v1 + 1)
+    // the pre-rebuild reader still answers from the whole OLD
+    // generation, both families (superseded files linger until vacuum)
+    assert(p1.select("vec_id").collect().map(_.getLong(0)).toSet === oldPost)
+    assert(c1.select("list_id", "cvec").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSet === oldCents)
+    // a fresh resolution is the whole NEW generation, and it serves
+    // bit-identically to the fused operator on the new corpus
+    val Seq(_, p2) = graft.io.Manifest
+      .readUnder(spark, dir, Seq("centroids", "postings"))
+    assert(p2.count() === total)
+    val served = Similarity.ivfTopKFromIndex(spark, dir, 5, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val fused = Similarity.ivfTopK(emb, 5, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served === fused)
   }
 }

@@ -318,4 +318,54 @@ class PlanAuditSpec extends SparkSpec {
     val singleParts = "SinglePartition".r.findAllIn(plan).size
     assert(singleParts <= 1, s"$singleParts single-partition exchanges\n${plan.take(600)}")
   }
+
+  test("bounded-id In pushdown actually prunes row groups under the graft " +
+    "threshold (1024) and silently stops pruning above it (r16 finding)") {
+    import org.apache.spark.sql.functions.col
+    // 10 files x 1000 rows, each file = one row group with tight
+    // vec_id min/max (range-partitioned + sorted), like the clustered
+    // ANN corpora the rerank fetch reads
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-inpush").toString + "/t"
+    spark.range(10000).select(col("id").as("vec_id"))
+      .repartitionByRange(10, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.parquet(dir)
+    // 32 scattered ids living in exactly TWO files' key ranges — the
+    // shape of a rerank fetch: >10 ids (above Spark's default
+    // threshold), [min,max] spanning the whole corpus
+    val ids: Seq[Long] = (0L until 16L) ++ (9000L until 9016L)
+    def scannedRows(thr: String): Long = {
+      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val old = spark.conf.get(key, "10")
+      try {
+        spark.conf.set(key, thr)
+        val df = spark.read.parquet(dir).where(col("vec_id").isin(ids: _*))
+        // execute df ITSELF so its scan metrics populate
+        assert(df.collect().length === ids.size) // same ANSWER either way
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+      } finally spark.conf.set(key, old)
+    }
+    // graft sessions (Bench/Verify/BenchOne set 1024): the In SET
+    // reaches parquet, row-group stats prune the 8 untouched files
+    assert(scannedRows("1024") <= 2000L)
+    // Spark's default 10: the same query degrades to the [0,9015]
+    // range pushdown, which prunes NOTHING over scattered ids — the
+    // full-corpus cold read ProbeFunnel measured at 20M vectors
+    assert(scannedRows("10") === 10000L)
+    // and the serve-path guard classifies both regimes: the registry
+    // geometries (nQueries·rerankK = 160, ·coarseK = 320) stay under
+    // the session threshold; a geometry past it warns loudly
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val old = spark.conf.get(key, "10")
+    try {
+      spark.conf.set(key, "1024")
+      assert(!graft.operators.Similarity.warnInOverflow(spark, 5 * 32, "spec"))
+      assert(!graft.operators.Similarity.warnInOverflow(spark, 5 * 64, "spec"))
+      assert(graft.operators.Similarity.warnInOverflow(spark, 2000, "spec"))
+    } finally spark.conf.set(key, old)
+  }
 }

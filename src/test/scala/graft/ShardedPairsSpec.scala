@@ -109,6 +109,22 @@ class ShardedPairsSpec extends SparkSpec {
     // the real re-delivery: one commit flips the whole shard set
     Tables.writeShardedPairs(v2, path, 10L)
     assert(snap() === Set((5L, 6L), (25L, 7L)))
+    // BETWEEN the re-delivery and vacuum the raw directory holds both
+    // generations — the manifest-resolving consumer (ADVICE r16) is
+    // what makes the concat contract hold across that window: exactly
+    // one file per live shard, ascending shard order, new generation
+    val files = Tables.shardedPairFiles(spark, path)
+    assert(files.size === 2, s"expected 2 live shard files: $files")
+    assert(files.map(f => "pair_shard=(-?\\d+)".r.findFirstMatchIn(f)
+      .get.group(1).toLong) === Seq(0L, 2L), files)
+    val viaHelper = files.flatMap(f => spark.read.parquet(f)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    assert(viaHelper === Seq((5L, 6L), (25L, 7L)))
+    assert(Tables.readShardedPairs(spark, path)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((5L, 6L), (25L, 7L)))
     // superseded + orphaned files stay until vacuum; after it the RAW
     // directory contract (one sorted file per shard dir) holds again
     graft.io.Manifest.vacuum(spark, path)

@@ -28,6 +28,9 @@ class StreamIndexAppendSpec extends SparkSpec {
     val a = emb.where(col("vec_id") < cut)
     val b = emb.where(col("vec_id") >= cut)
     Similarity.buildIvfIndex(a, dir) // quantizer fit on A only
+    // plain subdir reads below need dir listing == live snapshot
+    // (staged rebuilds keep prior runs' generations until vacuum)
+    graft.io.Manifest.vacuum(spark, dir)
 
     // B arrives as three files → three micro-batches (maxFilesPerTrigger=1);
     // parquet stream source so the float payload is byte-identical to
@@ -88,19 +91,22 @@ class StreamIndexAppendSpec extends SparkSpec {
 
     // the many-batch stream accumulated one+ posting file per batch;
     // compaction bounds the file count in ONE committed swap and the
-    // index answers are identical through it (r15 verdict #7)
-    val postingsDir = s"$dir/postings"
-    val preFiles = graft.io.Manifest.latest(spark, postingsDir).get._2.size
+    // index answers are identical through it (r15 verdict #7). r17:
+    // appends commit at the index ROOT (one manifest governs both
+    // families), so compaction runs there — per-parent-dir grouping
+    // keeps postings coalescing with postings only
+    def postingsFiles: Int = graft.io.Manifest.latest(spark, dir).get
+      ._2.count(_.startsWith("postings/"))
+    val preFiles = postingsFiles
     assert(preFiles >= 3, s"stream should have accumulated files: $preFiles")
-    graft.io.Manifest.compact(spark, postingsDir, 64L << 20)
-    val afterFiles = graft.io.Manifest.latest(spark, postingsDir).get._2.size
-    assert(afterFiles === 1, s"compaction left $afterFiles files")
-    val gotC = graft.io.Manifest.read(spark, postingsDir)
+    graft.io.Manifest.compact(spark, dir, 64L << 20)
+    assert(postingsFiles === 1, s"compaction left $postingsFiles files")
+    val gotC = graft.io.Manifest.readUnder(spark, dir, Seq("postings")).head
       .select("vec_id", "list_id").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(gotC === expected, "compaction changed the postings answer")
     // vacuum (exercised in anger: reclaims every superseded batch file)
-    val reclaimed = graft.io.Manifest.vacuum(spark, postingsDir)
+    val reclaimed = graft.io.Manifest.vacuum(spark, dir)
     assert(reclaimed.size >= preFiles - 1, s"vacuum reclaimed $reclaimed")
     assert(Similarity.ivfTopKFromIndex(spark, dir, 5, 5).count() > 0L)
   }
@@ -135,6 +141,8 @@ class StreamIndexAppendSpec extends SparkSpec {
     val total = emb.count()
     val cut = total / 2
     Similarity.buildIvfIndex(emb.where(col("vec_id") < cut), d)
+    graft.io.Manifest.vacuum(spark, d) // listings below = live snapshot
+    val vBuild = graft.io.Manifest.latest(spark, d).get._1
     def listing(p: String): Map[String, Long] = {
       val f = new java.io.File(new java.net.URI(p).getPath)
       f.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -171,21 +179,22 @@ class StreamIndexAppendSpec extends SparkSpec {
       .collect()
     assert(served.nonEmpty && served.length <= 25,
       s"torn-listing serve returned ${served.length}")
-    // r15: with the manifest honored, the torn state is INVISIBLE —
-    // the append's adoption commit (manifest-1, written before any new
-    // file moved in) names exactly the pre-append files, so a reader
-    // mid-append resolves the old snapshot even though oneNew is
-    // already on disk. This is the batch-level atomicity the r14
-    // contract note said needed a manifest/Delta log.
-    val msrc = new java.io.File(
-      new java.net.URI(s"$d/postings").getPath, "_manifests")
-    assert(msrc.isDirectory, "append did not write a manifest")
-    val mdst = new java.io.File(s"$tornDir/postings/_manifests")
+    // r15 (re-rooted r17): with the manifest honored, the torn state is
+    // INVISIBLE — the BUILD's root commit (manifest-1, which the append
+    // supersedes only when ITS commit renames in) names exactly the
+    // pre-append files of both families, so a reader mid-append
+    // resolves the old snapshot even though oneNew is already on disk.
+    // This is the batch-level atomicity the r14 contract note said
+    // needed a manifest/Delta log.
+    val msrc = new java.io.File(new java.net.URI(d).getPath, "_manifests")
+    assert(msrc.isDirectory, "build did not write a root manifest")
+    val mdst = new java.io.File(s"$tornDir/_manifests")
     mdst.mkdirs()
+    val mname = f"manifest-$vBuild%09d" // the BUILD's commit, pre-append
     java.nio.file.Files.copy(
-      msrc.toPath.resolve("manifest-000000001"),
-      mdst.toPath.resolve("manifest-000000001"))
-    val snap = graft.io.Manifest.read(spark, s"file:$tornDir/postings")
+      msrc.toPath.resolve(mname), mdst.toPath.resolve(mname))
+    val snap = graft.io.Manifest
+      .readUnder(spark, s"file:$tornDir", Seq("postings")).head
     assert(snap.count() === cut,
       "manifested mid-append reader must see exactly the pre-append rows")
   }
