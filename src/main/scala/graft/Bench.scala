@@ -210,9 +210,13 @@ object Bench {
     // per-query progress on stderr: a sweep cut by wall-clock (the r15
     // sf100 incident — ~75 min of a ~2.5 h sweep lost with no partial
     // data, Bench's JSON prints only at the end) still leaves every
-    // completed query's steady in the log
+    // completed query's steady in the log. The wall-clock stamp (r16
+    // verdict #5) makes a contended window identifiable post-hoc: the
+    // r16 sweep's first ~50 min overlapped concurrent test runs and
+    // nothing in the log could date which queries were affected.
     def progress(name: String, v: Double): Double = {
-      System.err.println(f"[bench] done $name: $v%.2f s")
+      val now = java.time.Instant.now().toString
+      System.err.println(f"[bench] done $name: $v%.2f s at $now")
       v
     }
     val lightResults = lightQ.map { case (name, fn) =>

@@ -184,7 +184,23 @@ object ProbeFunnel {
     // ≥5 runs per arm, ALTERNATING (r15 verdict #6: 3 runs under this
     // box's ~5x cold spread cannot support a median claim)
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
-    (1 to runs).foreach { i =>
+    if (sys.env.get("SPARK_GRAFT_WIDTH").contains("1")) {
+      // r16 verdict #8 — the column-width ratio measured directly:
+      // the funnel's coarse tier reads ONLY (vec_id, list_id, sig)
+      // where the int8 path's candidate scan reads (vec_id, list_id,
+      // q8, scale, vv). On local disk with page cache both arms' serve
+      // TIMES converge (r16: byte-identical rerank traffic dominates),
+      // but on cold object storage the scan-width byte ratio IS the
+      // cost ratio — print it from the same cold+diskstats harness,
+      // no rerank tail to confound it. Alternating, like the serves.
+      val post = graft.io.Manifest.readUnder(spark, ix, Seq("postings_q")).head
+      (1 to runs).foreach { i =>
+        time(s"scan sig-cols run $i")(
+          post.select("vec_id", "list_id", "sig"))
+        time(s"scan q8-cols  run $i")(
+          post.select("vec_id", "list_id", "q8", "scale", "vv"))
+      }
+    } else (1 to runs).foreach { i =>
       time(s"serve int8   run $i")(
         Similarity.ivfTopKFromIndexInt8(spark, ix, emb, 5, 5,
           nProbe = nProbe, rerankK = rerankK))
