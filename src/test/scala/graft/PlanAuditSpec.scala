@@ -322,14 +322,15 @@ class PlanAuditSpec extends SparkSpec {
   test("bounded-id In pushdown actually prunes row groups under the graft " +
     "threshold (1024) and silently stops pruning above it (r16 finding)") {
     import org.apache.spark.sql.functions.col
-    // 10 files x 1000 rows, each file = one row group with tight
-    // vec_id min/max (range-partitioned + sorted), like the clustered
-    // ANN corpora the rerank fetch reads
+    // 10 files x exactly 1000 rows, each file = one row group with tight
+    // vec_id min/max, like the clustered ANN corpora the rerank fetch
+    // reads. spark.range(start, end, step, numPartitions) splits the
+    // range into CONTIGUOUS equal slices deterministically — unlike
+    // repartitionByRange, whose sampled boundaries depend on session
+    // RDD-id history and made this bound flaky under the full suite.
     val dir = java.nio.file.Files
       .createTempDirectory("graft-inpush").toString + "/t"
-    spark.range(10000).select(col("id").as("vec_id"))
-      .repartitionByRange(10, col("vec_id"))
-      .sortWithinPartitions("vec_id")
+    spark.range(0L, 10000L, 1L, 10).select(col("id").as("vec_id"))
       .write.parquet(dir)
     // 32 scattered ids living in exactly TWO files' key ranges — the
     // shape of a rerank fetch: >10 ids (above Spark's default
