@@ -63,7 +63,11 @@ object FuzzyPairs {
                 blockCol: String, maxEdits: Int): DataFrame = {
     require(maxEdits >= 0 && maxEdits <= 3,
       s"maxEdits must be in [0, 3] (variant emission is C(len, k)); got $maxEdits")
-    val rows = df.select(col(idCol).as("_id"), col(nameCol).as("_name"),
+    // Par.floor: the variant explode (≤ ~1.4k rows per string) and the
+    // variant join's probe side otherwise run at the input scan's
+    // partition count (see Par)
+    val rows = Par.floor(df)
+      .select(col(idCol).as("_id"), col(nameCol).as("_name"),
         col(blockCol).as("_blk"))
       .withColumn("_len", length(col("_name")))
     // ≤ maxEdits-deletion neighborhood, deduplicated across levels

@@ -334,12 +334,17 @@ object RelationalQueries {
         // the join from broadcast to sort-merge at test scale. The
         // candidate pair set is identical either way.
         val bkt = graft.operators.Dedup.sizeBucket(col("la"), t)
-        val sup = supplier(s, dir).select(col("s_suppkey"), col("s_name"),
-          col("s_nationkey").as("nk"))
+        // Par.floor on both sides: whichever side streams through the
+        // blocked join carries the levenshtein verify, and a single-file
+        // scan would run it on one core (graft.operators.Par, r17)
+        val sup = graft.operators.Par.floor(supplier(s, dir))
+          .select(col("s_suppkey"), col("s_name"),
+            col("s_nationkey").as("nk"))
           .withColumn("la", length(col("s_name")))
           .withColumn("len_bucket", explode(array(bkt - 1, bkt, bkt + 1)))
-        val cus = customer(s, dir).select(col("c_custkey"), col("c_name"),
-          col("c_nationkey").as("nk"))
+        val cus = graft.operators.Par.floor(customer(s, dir))
+          .select(col("c_custkey"), col("c_name"),
+            col("c_nationkey").as("nk"))
           .withColumn("lb", length(col("c_name")))
           .withColumn("len_bucket", graft.operators.Dedup.sizeBucket(col("lb"), t))
         // best-match via min_by, not a sort window: the argmin hash
