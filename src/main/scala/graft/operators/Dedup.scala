@@ -281,6 +281,11 @@ object Dedup {
     // Token identity via the 64-bit graft_tok64 ≡ string identity up
     // to 2⁻⁶⁴-scale collisions (the md5-fingerprint trade; equality
     // with the string formulation is property-tested).
+    // NOT Par.floor'd (measured r17): jaccard's heavy stages all sit
+    // past an exchange (df aggregate, rank window, bucket join), so the
+    // floor only adds an exchange + 32-way scheduling to the tokenize
+    // pass — q_dedup_ngram_jaccard read 3.2 -> 4.15 s median with it,
+    // and the CC loop downstream of these pairs inherits the width.
     val toks = tokenSets(docs).localCheckpoint()
     // the prefix stream is doc×prefix-sized (≪ corpus tokens);
     // checkpoint once so the self-join's two sides don't each re-run
@@ -467,8 +472,12 @@ object Dedup {
     // are narrow maps over the existing blocks. A lazy caller (a whole
     // operator pipeline) still gets the checkpoint so rounds don't
     // re-execute it.
+    // lazy checkpoint: the edgeCount action right below materializes the
+    // blocks in the SAME job (r17 — the eager form spent one extra
+    // pair-scale pass; every per-round checkpoint below gets the same
+    // treatment, halving the loop's driver actions)
     var edges = if (pairsMaterialized) edges0
-      else edges0.localCheckpoint(true, StorageLevel.DISK_ONLY) // pair-scale (see jaccardPairs)
+      else edges0.localCheckpoint(false, StorageLevel.DISK_ONLY) // pair-scale (see jaccardPairs)
     // the checkpoint whose blocks back `edges`, when THIS call made it
     // (safe to unpersist after a contraction replaces it) — the
     // pairsMaterialized frame belongs to the caller
@@ -488,7 +497,7 @@ object Dedup {
     val nodes = docs.select(col("doc_id"))
       .unionByName(edges.select(col("src").as("doc_id"))).distinct()
     var labels = nodes.withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the nNodes count below
     // The label table is NODE-sized while the edge list is PAIR-sized —
     // near-dup graphs run ~100+ edges per node, so joining them
     // sort-merge re-shuffles the edge list every round (the r11 sf100
@@ -514,8 +523,10 @@ object Dedup {
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
+    val ccTrace = sys.env.contains("GRAFT_CC_TRACE")
     while (!converged) {
       round += 1
+      val t0 = if (ccTrace) System.nanoTime() else 0L
       require(round <= maxRounds, s"CC did not converge in $maxRounds rounds")
       // Round 1 is join-free (r12, the hash-to-min initialization): the
       // labels are still the identity (label(src) == src for every
@@ -545,7 +556,7 @@ object Dedup {
         .join(maybeBroadcast(mapping), col("label") === col("map_src"), "left")
         .select(col("doc_id"),
           coalesce(col("map_dst"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the labelSum probe
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       labels.unpersist() // drop the previous round's checkpoint blocks
@@ -566,8 +577,9 @@ object Dedup {
           .select(col("la").as("src"), col("lb").as("dst"))
           .distinct()
           // quotient-graph-sized but unbounded above — pair-scale on
-          // the first contraction of a sparse graph, so disk-staged
-          .localCheckpoint(true, StorageLevel.DISK_ONLY)
+          // the first contraction of a sparse graph, so disk-staged;
+          // lazy: the edgeCount below materializes it
+          .localCheckpoint(false, StorageLevel.DISK_ONLY)
         edgesCkpt.foreach(_.unpersist())
         // fresh attribute lineage over the checkpointed blocks: the
         // contracted list derives from `next`, and NEXT round joins it
@@ -581,6 +593,8 @@ object Dedup {
         edgeCount = edges.count()
       }
       if (wasBig) System.gc() // release the round's shuffle files (see above)
+      if (ccTrace) System.err.println(
+        f"[cc] round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s, edges=$edgeCount converged=$converged")
     }
     labels.join(docs.select("doc_id").distinct(), "doc_id")
       .select(col("doc_id"), col("label").as("cluster_id"))
